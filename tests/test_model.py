@@ -1,0 +1,93 @@
+"""Model core tests (SURVEY.md §7 stage 2): shapes, params, jit, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ubdvss_tpu import NetConfig, get_model, init_params, param_count
+
+
+def test_output_shape_and_stride():
+    cfg = NetConfig()
+    model = get_model(cfg)
+    params = init_params(cfg, 0)
+    x = jnp.zeros((2, 64, 96, 1), jnp.float32)
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 16, 24, 1 + cfg.n_classes)
+    assert y.dtype == jnp.float32
+
+
+def test_detection_only_mode():
+    cfg = NetConfig(classification=False)
+    assert cfg.n_output_channels == 1
+    params = init_params(cfg, 0)
+    y = get_model(cfg).apply({"params": params}, jnp.zeros((1, 32, 32, 1)))
+    assert y.shape == (1, 8, 8, 1)
+
+
+def test_param_count_default():
+    # Default (separable context, C=24, 16 classes):
+    #   downscale_0: 3*3*1*24 + 24           = 240
+    #   downscale_1: 3*3*24*24 + 24          = 5208
+    #   context x7:  (3*3*24) + (24*24 + 24) = 816 each -> 5712
+    #   head:        24*17 + 17              = 425
+    # total = 11585.  (The paper quotes ~32.5k for its exact variant; the
+    # architecture knobs are configurable — see models/model.py docstring.)
+    cfg = NetConfig()
+    n = param_count(init_params(cfg, 0))
+    assert n == 11585, n
+    # Non-separable Yu&Koltun-style context module for comparison:
+    cfg2 = NetConfig(separable_context=False)
+    n2 = param_count(init_params(cfg2, 0))
+    assert n2 == 240 + 5208 + 7 * 5208 + 425
+
+
+def test_jit_and_determinism():
+    cfg = NetConfig()
+    params = init_params(cfg, 42)
+    model = get_model(cfg)
+    f = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    x = jax.random.normal(jax.random.key(1), (1, 64, 64, 1))
+    y1, y2 = f(params, x), f(params, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # jit matches non-jit closely
+    y3 = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y3), atol=1e-6)
+
+
+def test_receptive_field_locality():
+    """Dilated context module: far-away pixels must not affect a local output.
+
+    Receptive field at output stride 4 with dilations (1,1,2,4,8,16,1) is
+    bounded by ~2*(sum(dilations)+2)+... < 80 output pixels; a perturbation
+    320 input px away must leave the output pixel unchanged.
+    """
+    cfg = NetConfig()
+    params = init_params(cfg, 0)
+    model = get_model(cfg)
+    x = jnp.zeros((1, 512, 512, 1))
+    x2 = x.at[0, 500, 500, 0].set(100.0)
+    y1 = model.apply({"params": params}, x)
+    y2 = model.apply({"params": params}, x2)
+    np.testing.assert_array_equal(np.asarray(y1[0, :8, :8]), np.asarray(y2[0, :8, :8]))
+    assert not np.allclose(np.asarray(y1[0, 120:, 120:]), np.asarray(y2[0, 120:, 120:]))
+
+
+def test_bf16_trunk_f32_logits():
+    cfg = NetConfig(dtype="bfloat16")
+    params = init_params(cfg, 0)
+    y = get_model(cfg).apply({"params": params}, jnp.zeros((1, 32, 32, 1)))
+    assert y.dtype == jnp.float32
+
+
+def test_grid_size_helper():
+    cfg = NetConfig(scale=4, max_image_side=1024)
+    assert cfg.grid_size(512, 512) == (512, 512)
+    assert cfg.grid_size(510, 515) == (512, 516)
+    h, w = cfg.grid_size(2048, 1024)
+    assert max(h, w) <= 1024 and h % 4 == 0 and w % 4 == 0
+    assert cfg.grid_size(1, 1) == (4, 4)
+    with pytest.raises(ValueError):
+        cfg.output_size(510, 512)
+    assert cfg.output_size(512, 512) == (128, 128)

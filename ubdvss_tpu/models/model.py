@@ -1,0 +1,163 @@
+"""The dilated-convolution context-module FCN, TPU-native (flax/linen, NHWC).
+
+Re-implements the reference model builder (``semantic_segmentation/model.py``,
+SURVEY.md §1 L5 / §2a "Model builder"; paper arXiv:1906.06281 §3.2, Table 1):
+
+  * downscale module: two 3x3 stride-2 convs (output stride = cfg.scale = 4),
+  * context module (Yu & Koltun-style): stack of 3x3 depthwise-separable
+    convs, dilation schedule cfg.dilations ≈ (1,1,2,4,8,16,1), width
+    cfg.channels = 24, ReLU activations,
+  * head: 1x1 conv -> 1 detection logit + n_classes classification logits.
+
+TPU-first design notes:
+  * NHWC layout, static shapes; entire forward is one XLA program that fuses
+    bias+ReLU into the convs.
+  * ``precision=HIGHEST`` by default so f32 convs hit the ≤1e-5 oracle-parity
+    bar on TPU (TPU matmuls default to bf16 passes otherwise); bench configs
+    may set param/compute dtype to bf16.
+  * A Pallas fused separable-conv path (ops/pallas) can replace the XLA
+    context-module convs; the XLA path remains the correctness baseline.
+
+The reference mount was empty (SURVEY.md §0): layer counts/widths follow the
+paper from prior knowledge. The paper quotes ~32.5k parameters; this default
+configuration (separable context) has ~11.9k — the discrepancy is recorded in
+tests/test_model.py and every structural knob (channels, dilations,
+separable_context) is configurable should the true architecture surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ubdvss_tpu.net_config import NetConfig
+
+
+class SeparableConv(nn.Module):
+    """Depthwise 3x3 (dilated) + pointwise 1x1 convolution."""
+
+    features: int
+    dilation: int = 1
+    dtype: Any = jnp.float32
+    precision: Any = jax.lax.Precision.HIGHEST
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        x = nn.Conv(
+            features=c_in,
+            kernel_size=(3, 3),
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=c_in,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            precision=self.precision,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(1, 1),
+            padding="SAME",
+            use_bias=True,
+            dtype=self.dtype,
+            precision=self.precision,
+            name="pointwise",
+        )(x)
+        return x
+
+
+class BarcodeFCN(nn.Module):
+    """Downscale convs + dilated context module + 1x1 heads.
+
+    Input:  (B, H, W, 1) float images, H and W divisible by 4.
+    Output: (B, H/4, W/4, 1 + n_classes) logits — channel 0 is the detection
+    logit, channels 1: are barcode-type classification logits.
+    """
+
+    channels: int = 24
+    dilations: tuple[int, ...] = (1, 1, 2, 4, 8, 16, 1)
+    separable_context: bool = True
+    n_output_channels: int = 17
+    dtype: Any = jnp.float32
+    precision: Any = jax.lax.Precision.HIGHEST
+
+    @classmethod
+    def from_config(cls, cfg: NetConfig) -> "BarcodeFCN":
+        return cls(
+            channels=cfg.channels,
+            dilations=tuple(cfg.dilations),
+            separable_context=cfg.separable_context,
+            n_output_channels=cfg.n_output_channels,
+            dtype=jnp.dtype(cfg.dtype),
+        )
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        # Downscale module: output stride 4 [paper §3.2].
+        for i in range(2):
+            x = nn.Conv(
+                features=self.channels,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding="SAME",
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"downscale_{i}",
+            )(x)
+            x = nn.relu(x)
+        # Dilated context module [paper §3.2; Yu & Koltun 2016].
+        for i, d in enumerate(self.dilations):
+            if self.separable_context:
+                x = SeparableConv(
+                    features=self.channels,
+                    dilation=d,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"context_{i}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    features=self.channels,
+                    kernel_size=(3, 3),
+                    kernel_dilation=(d, d),
+                    padding="SAME",
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"context_{i}",
+                )(x)
+            x = nn.relu(x)
+        # 1x1 head: detection + classification logits [paper §3.2].
+        x = nn.Conv(
+            features=self.n_output_channels,
+            kernel_size=(1, 1),
+            padding="SAME",
+            dtype=self.dtype,
+            precision=self.precision,
+            name="head",
+        )(x)
+        # Logits in f32 so downstream sigmoid/softmax/thresholding are stable
+        # even when the trunk computes in bf16.
+        return x.astype(jnp.float32)
+
+
+def get_model(cfg: NetConfig) -> BarcodeFCN:
+    """Model-builder entrypoint mirroring the reference API (SURVEY.md §1 L5)."""
+    return BarcodeFCN.from_config(cfg)
+
+
+def init_params(cfg: NetConfig, rng: jax.Array | int = 0):
+    """Initialize parameters for ``get_model(cfg)`` (f32 master weights)."""
+    if isinstance(rng, int):
+        rng = jax.random.key(rng)
+    model = get_model(cfg)
+    dummy = jnp.zeros((1, 4 * cfg.scale, 4 * cfg.scale, 1), jnp.float32)
+    return model.init(rng, dummy)["params"]
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

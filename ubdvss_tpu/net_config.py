@@ -1,0 +1,150 @@
+"""Central network/pipeline configuration for the TPU-native UBDVSS rebuild.
+
+Mirrors the role of the reference's ``semantic_segmentation/net_config.py``
+(``NetConfig`` class — SURVEY.md §1 L1, §2a).  The reference mount
+``/root/reference`` was empty during the survey (SURVEY.md §0), so field names
+and defaults follow SURVEY.md §2a and the underlying paper (arXiv:1906.06281,
+"Universal Barcode Detector via Semantic Segmentation", Zharkov & Zagaynov,
+ICDAR 2019): output stride (``scale``) = 4, ~16 barcode classes, detection-only
+vs detection+classification modes, eval-time max-side resize bound.
+
+TPU-specific additions (no reference counterpart — required by static-shape
+XLA semantics): ``max_components`` / ``max_hull_points`` bounds for the
+on-device connected-component + min-area-rect postprocessing, and a compute
+dtype knob (f32 for ≤1e-5 oracle parity, bf16 for peak throughput).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+# Barcode object types detected by the reference system (paper §1/§4 lists
+# 1D families, 2D codes and postal codes; exact reference spelling
+# unverifiable with the empty mount — SURVEY.md §0).
+DEFAULT_CLASS_NAMES: tuple[str, ...] = (
+    # 2D codes
+    "Aztec",
+    "DataMatrix",
+    "MaxiCode",
+    "PDF417",
+    "QRCode",
+    # 1D linear codes
+    "EAN13",
+    "UPCA",
+    "Code39",
+    "Code93",
+    "Code128",
+    "Codabar",
+    "ITF",
+    # postal codes
+    "Postnet",
+    "IntelligentMail",
+    "JapanPost",
+    "RoyalMail",
+)
+
+# Coarse groups, useful for group-level classification metrics (paper §4).
+CLASS_GROUPS: dict[str, tuple[str, ...]] = {
+    "2D": ("Aztec", "DataMatrix", "MaxiCode", "PDF417", "QRCode"),
+    "1D": ("EAN13", "UPCA", "Code39", "Code93", "Code128", "Codabar", "ITF"),
+    "postal": ("Postnet", "IntelligentMail", "JapanPost", "RoyalMail"),
+}
+
+
+@dataclass(frozen=True)
+class NetConfig:
+    """Frozen hyperparameter/config object; every layer reads from it.
+
+    Attributes mirroring the reference ``NetConfig`` (SURVEY.md §2a):
+      scale: downscale ratio == model output stride (paper §3.2: 4).
+      max_image_side: eval-time bound — larger images are resized down.
+      class_names: barcode type names; classification head emits one
+        channel per class.
+      classification: detection+classification mode when True, else
+        detection-only (single output channel).
+
+    Model-architecture knobs (paper §3.2, Table 1; SURVEY.md §2a
+    "Model builder"):
+      channels: width of every conv layer (paper: 24).
+      dilations: dilation schedule of the context module
+        (paper ≈ 1,1,2,4,8,16,1).
+      separable_context: context-module convs are depthwise-separable.
+
+    Postprocessing (paper §3.4; SURVEY.md §2a "Postprocessing"):
+      detection_threshold: sigmoid threshold on the detection channel.
+      min_component_area: components smaller than this many pixels (at
+        1/scale resolution) are dropped.
+
+    Loss (paper §3.3; SURVEY.md §2a "Losses"):
+      hard_negative_ratio: negatives:positives kept by hard-example mining.
+      detection_loss_weight / classification_loss_weight: loss mix.
+
+    TPU-only static bounds (no reference counterpart):
+      max_components: static upper bound on detections per image for the
+        on-device CCL → rect pipeline.
+      max_hull_points: static bound on convex-hull size per component.
+      dtype: 'float32' (oracle parity) or 'bfloat16' (throughput).
+    """
+
+    scale: int = 4
+    max_image_side: int = 1024
+    class_names: tuple[str, ...] = DEFAULT_CLASS_NAMES
+    classification: bool = True
+
+    channels: int = 24
+    dilations: tuple[int, ...] = (1, 1, 2, 4, 8, 16, 1)
+    separable_context: bool = True
+
+    detection_threshold: float = 0.5
+    min_component_area: int = 20
+
+    hard_negative_ratio: int = 3
+    detection_loss_weight: float = 1.0
+    classification_loss_weight: float = 1.0
+
+    max_components: int = 64
+    max_hull_points: int = 64
+    dtype: str = "float32"
+
+    # ---- derived quantities -------------------------------------------------
+
+    @property
+    def n_classes(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def n_output_channels(self) -> int:
+        """1 detection channel + n_classes classification channels."""
+        return 1 + (self.n_classes if self.classification else 0)
+
+    def class_index(self, name: str) -> int:
+        """0-based class index (background is NOT a class here; segmentation
+        maps use 0=background, 1+i=class i)."""
+        return self.class_names.index(name)
+
+    # ---- geometry helpers ---------------------------------------------------
+
+    def grid_size(self, height: int, width: int) -> tuple[int, int]:
+        """Target (H, W) after resize-to-downscale-grid [B:north_star].
+
+        The image is shrunk (never enlarged) so its max side is at most
+        ``max_image_side``, then each side is rounded to the nearest positive
+        multiple of ``scale`` so the output grid is exact.
+        """
+        factor = min(1.0, self.max_image_side / max(height, width))
+        h = max(self.scale, int(round(height * factor / self.scale)) * self.scale)
+        w = max(self.scale, int(round(width * factor / self.scale)) * self.scale)
+        return h, w
+
+    def output_size(self, height: int, width: int) -> tuple[int, int]:
+        """Heatmap size for a grid-aligned input."""
+        if height % self.scale or width % self.scale:
+            raise ValueError(
+                f"input {height}x{width} not aligned to scale={self.scale}; "
+                "call grid_size() first"
+            )
+        return height // self.scale, width // self.scale
+
+    def replace(self, **kw) -> "NetConfig":
+        return dataclasses.replace(self, **kw)
