@@ -1,0 +1,136 @@
+"""Hull + min-area rect vs cv2.convexHull / cv2.minAreaRect (SURVEY.md §4.2)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from ubdvss_tpu.ops.rect import (
+    min_area_rect,
+    min_area_rect_from_mask_stack,
+    monotone_chain_hull,
+)
+
+
+def _hull_set(pts):
+    h = cv2.convexHull(pts.astype(np.int32).reshape(-1, 1, 2))
+    return {tuple(p) for p in h.reshape(-1, 2)}
+
+
+def _pad(pts, n_slots):
+    n = len(pts)
+    out = np.zeros((n_slots, 2), np.int32)
+    out[:n] = pts
+    valid = np.zeros(n_slots, bool)
+    valid[:n] = True
+    return out, valid
+
+
+from helpers import assert_rect_parity as _assert_rect_matches  # noqa: E402
+
+
+def test_hull_random_points():
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        n = int(rng.integers(1, 60))
+        pts = rng.integers(0, 50, (n, 2)).astype(np.int32)
+        padded, valid = _pad(pts, 64)
+        hull, m = monotone_chain_hull(padded, valid)
+        hull, m = np.asarray(hull), int(m)
+        ours = {tuple(p) for p in hull[:m]}
+        theirs = _hull_set(pts)
+        # cv2 may keep collinear points depending on version; require ours to be
+        # the vertex set of the same polygon: every our point in cv2 hull set OR
+        # compare via equal hull area + containment.
+        assert ours <= theirs or _poly_area(hull[:m]) == _poly_area(
+            np.array(sorted(theirs, key=lambda q: np.arctan2(*q)))
+        )
+        # all input points inside our hull
+        if m >= 3:
+            poly = hull[:m].astype(np.float32)
+            for p in pts:
+                d = cv2.pointPolygonTest(poly.reshape(-1, 1, 2), tuple(map(float, p)), True)
+                assert d >= -1e-3
+
+
+def _poly_area(p):
+    if len(p) < 3:
+        return 0.0
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)))
+
+
+def test_hull_degenerate():
+    # empty
+    padded, valid = _pad(np.zeros((0, 2)), 16)
+    hull, m = monotone_chain_hull(padded, valid)
+    assert int(m) == 0
+    # single point (duplicated)
+    padded, valid = _pad(np.array([[3, 4], [3, 4], [3, 4]]), 16)
+    hull, m = monotone_chain_hull(padded, valid)
+    assert int(m) == 1 and tuple(np.asarray(hull)[0]) == (3, 4)
+    # collinear
+    padded, valid = _pad(np.array([[0, 0], [2, 2], [5, 5], [3, 3]]), 16)
+    hull, m = monotone_chain_hull(padded, valid)
+    hull, m = np.asarray(hull), int(m)
+    assert m == 2 and {tuple(p) for p in hull[:m]} == {(0, 0), (5, 5)}
+
+
+def test_min_area_rect_vs_cv2_random():
+    rng = np.random.default_rng(1)
+    for trial in range(15):
+        n = int(rng.integers(3, 80))
+        pts = rng.integers(0, 100, (n, 2)).astype(np.int32)
+        if len(np.unique(pts, axis=0)) < 3:
+            continue
+        padded, valid = _pad(pts, 128)
+        hull, m = monotone_chain_hull(padded, valid)
+        res = min_area_rect(hull, m)
+        _assert_rect_matches(res, pts)
+
+
+def test_min_area_rect_axis_aligned():
+    pts = np.array([[10, 20], [30, 20], [30, 25], [10, 25]], np.int32)
+    padded, valid = _pad(pts, 16)
+    hull, m = monotone_chain_hull(padded, valid)
+    res = min_area_rect(hull, m)
+    assert abs(float(res["size"].min()) - 5) < 1e-4
+    assert abs(float(res["size"].max()) - 20) < 1e-4
+    np.testing.assert_allclose(np.asarray(res["center"]), [20, 22.5], atol=1e-4)
+
+
+def test_min_area_rect_rotated_invariance():
+    """Rect of 90°-rotated points == rotated rect (SURVEY.md §4.3 property)."""
+    rng = np.random.default_rng(2)
+    pts = rng.integers(0, 60, (20, 2)).astype(np.int32)
+    padded, valid = _pad(pts, 64)
+    hull, m = monotone_chain_hull(padded, valid)
+    a0 = np.prod(np.asarray(min_area_rect(hull, m)["size"]))
+    rot = np.stack([pts[:, 1], -pts[:, 0] + 60], axis=1)
+    padded, valid = _pad(rot, 64)
+    hull, m = monotone_chain_hull(padded, valid)
+    a1 = np.prod(np.asarray(min_area_rect(hull, m)["size"]))
+    assert abs(a0 - a1) < 1e-2
+
+
+def test_mask_stack_rects_vs_cv2():
+    """Blob masks → rects must match cv2.minAreaRect over the pixel coords."""
+    rng = np.random.default_rng(3)
+    H = W = 48
+    K = 4
+    eq = np.zeros((H, W, K), bool)
+    yy, xx = np.mgrid[:H, :W]
+    # k=0 ellipse, k=1 rotated bar, k=2 single pixel, k=3 empty
+    eq[..., 0] = ((yy - 12) / 6.0) ** 2 + ((xx - 30) / 11.0) ** 2 <= 1
+    bar = (np.abs((xx - 20) - (yy - 30)) <= 2) & (yy >= 24) & (yy <= 40) & (xx >= 10) & (xx <= 34)
+    eq[..., 1] = bar
+    eq[32, 5, 2] = True
+    res = min_area_rect_from_mask_stack(eq)
+    for k in range(2):
+        pts = np.argwhere(eq[..., k])[:, ::-1]  # (x, y)
+        sub = {kk: np.asarray(v[k]) for kk, v in res.items()}
+        assert bool(sub["valid"])
+        _assert_rect_matches(sub, pts)
+    assert bool(np.asarray(res["valid"])[2])
+    np.testing.assert_allclose(np.asarray(res["center"])[2], [5, 32], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res["size"])[2], [0, 0], atol=1e-5)
+    assert not bool(np.asarray(res["valid"])[3])

@@ -1,0 +1,219 @@
+"""On-device min-area rectangle fitting — replaces host ``cv2.minAreaRect``.
+
+Reference parity target (SURVEY.md §1 L8, §2b): for each connected component
+the reference calls OpenCV's ``minAreaRect`` (rotating calipers over the
+convex hull of the component's pixels, on host).  Here the whole computation
+is static-shaped JAX, vmappable over components and batch, so rectangles come
+off the chip directly (BASELINE.json north_star).
+
+Pipeline per component:
+  1. per-row x-extremes of the component mask (a W-axis reduction — the hull
+     of a pixel set equals the hull of its per-row extreme points, shrinking
+     the candidate set from O(H*W) to <= 2H with a *static* bound);
+  2. Andrew's monotone-chain convex hull over the candidates, implemented as
+     a `lax.fori_loop` with a fixed-size stack (vmap runs components in
+     lockstep);
+  3. exact minimum-area enclosing rectangle: the optimum has a side collinear
+     with a hull edge, so evaluate every hull edge direction in one
+     vectorized (edges x points) projection pass and take the min area.
+
+Matches ``cv2.minAreaRect`` up to float rounding wherever the optimum is
+unique (generic shapes).  Exactly mirror-symmetric components admit two
+mirrored minimum rects; cv2's pick among such exact ties depends on its
+internal float32 rounding order, which is not reproducible from a different
+summation order.  We tie-break deterministically toward the smallest caliper
+rotation angle; parity tests treat exact ties as an equivalence class
+(equal minimal area + containment) — see tests/helpers.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def monotone_chain_hull(pts: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Convex hull of masked integer points via Andrew's monotone chain.
+
+    Args:
+      pts: (N, 2) int32 points (x, y).
+      valid: (N,) bool mask.
+    Returns:
+      hull: (N + 1, 2) int32 hull vertices (counter-clockwise in math coords)
+        in slots [0, m); contents beyond m are arbitrary.
+      m: () int32 number of hull vertices (0 if no valid points; 1 for a
+        single distinct point; collinear sets give the 2 endpoints).
+    """
+    n_slots = pts.shape[0]
+    big = jnp.int64 if (n_slots > 30000) else jnp.int32
+    # Lex sort by (x, y); invalid points sort last.
+    span = jnp.array(2 * 65536, dtype=big)
+    key = pts[:, 0].astype(big) * span + pts[:, 1].astype(big)
+    key = jnp.where(valid, key, jnp.iinfo(big).max)
+    order = jnp.argsort(key)
+    p = pts[order].astype(jnp.int32)
+    n = valid.sum().astype(jnp.int32)
+
+    # Drop duplicate consecutive points after sorting (duplicates break the
+    # k<2 guard of the chain). Compact unique points to the front.
+    prev = jnp.roll(p, 1, axis=0)
+    is_uniq = (jnp.arange(n_slots) < n) & (
+        (jnp.arange(n_slots) == 0) | jnp.any(p != prev, axis=1)
+    )
+    uniq_rank = jnp.cumsum(is_uniq.astype(jnp.int32)) - 1  # position if unique
+    nu = is_uniq.sum().astype(jnp.int32)
+    pu = (
+        jnp.zeros((n_slots, 2), jnp.int32)
+        .at[jnp.where(is_uniq, uniq_rank, n_slots)]
+        .set(p, mode="drop")
+    )
+
+    hull_cap = n_slots + 1
+    hull0 = jnp.zeros((hull_cap, 2), jnp.int32)
+
+    def chain_step(i_point, limit, hull, k):
+        """Push pu[i_point] onto the chain, popping non-left turns."""
+        pt = pu[i_point]
+
+        def pop_cond(kk):
+            o = hull[kk - 2]
+            a = hull[kk - 1]
+            cr = (a[0] - o[0]) * (pt[1] - o[1]) - (a[1] - o[1]) * (pt[0] - o[0])
+            return (kk >= limit) & (cr <= 0)
+
+        k = lax.while_loop(pop_cond, lambda kk: kk - 1, k)
+        hull = hull.at[k].set(pt)
+        return hull, k + 1
+
+    # Lower hull.
+    def lower_body(i, st):
+        hull, k = st
+        return lax.cond(
+            i < nu, lambda: chain_step(i, jnp.int32(2), hull, k), lambda: (hull, k)
+        )
+
+    hull, k = lax.fori_loop(0, n_slots, lower_body, (hull0, jnp.int32(0)))
+    lower_sz = k
+
+    # Upper hull: points nu-2 .. 0.
+    def upper_body(j, st):
+        hull, k = st
+        i = nu - 2 - j
+        return lax.cond(
+            i >= 0, lambda: chain_step(i, lower_sz + 1, hull, k), lambda: (hull, k)
+        )
+
+    hull, k = lax.fori_loop(0, n_slots, upper_body, (hull, k))
+    m = jnp.maximum(k - 1, 0)  # last point repeats the first
+    m = jnp.where(nu == 1, 1, m)
+    m = jnp.where(nu == 0, 0, m)
+    return hull, m
+
+
+def min_area_rect(hull: jax.Array, m: jax.Array) -> dict:
+    """Exact minimum-area rectangle over hull vertices (static shapes).
+
+    Args:
+      hull: (M, 2) numeric hull vertices, valid in [0, m), CCW or CW.
+      m: () int32 vertex count.
+    Returns dict:
+      points: (4, 2) f32 rectangle corners (consecutive order);
+      center: (2,) f32; size: (2,) f32 (w, h) along (edge dir, normal);
+      angle_deg: () f32 angle of the 'size[0]' side vs +x axis, in [0, 180);
+      valid: () bool (False when m == 0).
+    """
+    M = hull.shape[0]
+    h = hull.astype(jnp.float32)
+    idx = jnp.arange(M)
+    pvalid = idx < m
+    nxt = jnp.where(m > 0, (idx + 1) % jnp.maximum(m, 1), 0)
+    a = h
+    b = h[nxt]
+    e = b - a
+    elen = jnp.sqrt(jnp.sum(e * e, axis=1))
+    good = pvalid & (elen > 0)
+    u = e / jnp.maximum(elen, 1e-30)[:, None]  # (M,2) edge dirs
+    v = jnp.stack([-u[:, 1], u[:, 0]], axis=1)  # normals
+
+    pu = u @ h.T  # (M edges, M points) projections
+    pv = v @ h.T
+    inf = jnp.float32(3.4e38)
+    pmask = pvalid[None, :]
+    min_u = jnp.min(jnp.where(pmask, pu, inf), axis=1)
+    max_u = jnp.max(jnp.where(pmask, pu, -inf), axis=1)
+    min_v = jnp.min(jnp.where(pmask, pv, inf), axis=1)
+    max_v = jnp.max(jnp.where(pmask, pv, -inf), axis=1)
+    w = max_u - min_u
+    ht = max_v - min_v
+    area = jnp.where(good, w * ht, inf)
+    # Tie-break like cv2's rotatingCalipers: among minimal-area edge
+    # directions, prefer the smallest caliper rotation angle, which in image
+    # coordinates (y down) is (-theta) mod 90 degrees.  Symmetric components
+    # (e.g. rasterized ellipses) genuinely tie; this keeps rect parity exact.
+    amin = jnp.min(area)
+    tie = good & (area <= amin * (1.0 + 1e-6) + 1e-9)
+    phi = jnp.mod(-jnp.degrees(jnp.arctan2(e[:, 1], e[:, 0])), 90.0)
+    best = jnp.argmin(jnp.where(tie, phi, inf))
+
+    ub, vb = u[best], v[best]
+    c_u = 0.5 * (min_u[best] + max_u[best])
+    c_v = 0.5 * (min_v[best] + max_v[best])
+    center = c_u * ub + c_v * vb
+    size = jnp.stack([w[best], ht[best]])
+    half_w = 0.5 * w[best]
+    half_h = 0.5 * ht[best]
+    corners = (
+        center[None, :]
+        + jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+        @ jnp.stack([half_w * ub, half_h * vb])
+    )
+    angle = jnp.degrees(jnp.arctan2(ub[1], ub[0])) % 180.0
+
+    any_edge = jnp.any(good)
+    # Degenerate: single point (or all-duplicate) component.
+    p0 = h[0]
+    center = jnp.where(any_edge, center, p0)
+    size = jnp.where(any_edge, size, jnp.zeros(2))
+    corners = jnp.where(any_edge, corners, jnp.broadcast_to(p0, (4, 2)))
+    angle = jnp.where(any_edge, angle, 0.0)
+    return {
+        "points": corners,
+        "center": center,
+        "size": size,
+        "angle_deg": angle,
+        "valid": m > 0,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=())
+def min_area_rect_from_mask_stack(eq: jax.Array) -> dict:
+    """Min-area rects for a stack of component masks.
+
+    Args:
+      eq: (H, W, K) bool — one mask per component (may be all-False).
+    Returns dict of per-component arrays (leading dim K) as in
+    ``min_area_rect``, computed from per-row extreme points.
+    """
+    H, W, K = eq.shape
+    cols = jnp.arange(W, dtype=jnp.int32)
+    rows = jnp.arange(H, dtype=jnp.int32)
+    # Per-row extremes per component: (H, K)
+    minx = jnp.min(jnp.where(eq, cols[None, :, None], _INT_MAX), axis=1)
+    maxx = jnp.max(jnp.where(eq, cols[None, :, None], -1), axis=1)
+    row_any = jnp.any(eq, axis=1)  # (H, K)
+
+    # Candidate points: (2H, 2) per component = (x=minx,y) ++ (x=maxx,y).
+    def per_component(minx_k, maxx_k, row_any_k):
+        ptx = jnp.concatenate([minx_k, maxx_k])
+        pty = jnp.concatenate([rows, rows])
+        pts = jnp.stack([ptx, pty], axis=1).astype(jnp.int32)
+        valid = jnp.concatenate([row_any_k, row_any_k])
+        hull, m = monotone_chain_hull(pts, valid)
+        return min_area_rect(hull, m)
+
+    return jax.vmap(per_component, in_axes=(1, 1, 1))(minx, maxx, row_any)
