@@ -1,0 +1,65 @@
+"""detect() end-to-end API smoke + pipeline-composition tests."""
+
+import numpy as np
+
+from ubdvss_tpu import NetConfig, init_params
+from ubdvss_tpu.inference import BarcodeDetector, detect_program, detect_program_batch
+
+
+def _forced_blob_params(cfg):
+    """Params whose head bias forces a detection: zero conv weights, so the
+    detection logit is the head's (known) bias — then we flip its sign via
+    the input-independent path to make deterministic output impossible;
+    instead we just set a large positive detection bias so the whole heatmap
+    fires, giving exactly one full-frame component."""
+    import jax
+
+    params = init_params(cfg, 0)
+    params = jax.tree.map(lambda p: p * 0.0, params)
+    head_b = np.zeros((cfg.n_output_channels,), np.float32)
+    head_b[0] = 5.0  # detection channel on everywhere
+    if cfg.classification:
+        head_b[1 + 2] = 3.0  # class 2 wins
+    params["head"]["bias"] = head_b
+    return params
+
+
+def test_detect_full_frame_component():
+    cfg = NetConfig(max_components=4, min_component_area=1)
+    params = _forced_blob_params(cfg)
+    det = BarcodeDetector(cfg, params)
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    out = det.detect(img)
+    assert len(out) == 1
+    d = out[0]
+    assert d.class_id == 2 and d.class_name == cfg.class_names[2]
+    assert d.score > 0.99
+    # full-frame component -> rect covers the whole heatmap, scaled x4
+    np.testing.assert_allclose(np.sort(d.box[:, 0]), [0, 0, 60, 60], atol=1e-3)
+    np.testing.assert_allclose(np.sort(d.box[:, 1]), [0, 0, 60, 60], atol=1e-3)
+    hm = det.heatmap(img)
+    assert hm.shape == (16, 16) and np.all(hm > 0.99)
+
+
+def test_detect_resized_input():
+    cfg = NetConfig(max_components=4, min_component_area=1, max_image_side=64)
+    params = _forced_blob_params(cfg)
+    det = BarcodeDetector(cfg, params)
+    img = np.random.default_rng(1).integers(0, 256, (128, 96), dtype=np.uint8)
+    out = det.detect(img)
+    assert len(out) == 1
+    # rect rescaled back to original 128x96 coords
+    assert out[0].box[:, 0].max() <= 96 and out[0].box[:, 1].max() <= 128
+    assert out[0].box[:, 1].max() > 100
+
+
+def test_batch_program_matches_single():
+    cfg = NetConfig(max_components=4, min_component_area=1)
+    params = _forced_blob_params(cfg)
+    imgs = np.random.default_rng(2).integers(0, 256, (2, 32, 32), dtype=np.uint8)
+    res_b, logits_b = detect_program_batch(params, imgs, cfg, (32, 32))
+    res_0, logits_0 = detect_program(params, imgs[0], cfg, (32, 32))
+    np.testing.assert_allclose(np.asarray(logits_b)[0], np.asarray(logits_0), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_b["boxes"])[0], np.asarray(res_0["boxes"]), atol=1e-5
+    )

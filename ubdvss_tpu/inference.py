@@ -1,0 +1,116 @@
+"""End-to-end inference API: image(s) → detected barcode rectangles.
+
+Mirrors the reference's single-image inference path (SURVEY.md §3.3) but as
+ONE compiled XLA program per input shape: fused preproc → FCN → on-device
+postprocessing.  Nothing touches the host between feeding the raw image and
+reading back the final fixed-size rectangle tensors (BASELINE.json
+north_star: "boxes come off the chip").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ubdvss_tpu.models.model import get_model
+from ubdvss_tpu.net_config import NetConfig
+from ubdvss_tpu.ops.postproc import postprocess
+from ubdvss_tpu.ops.preproc import preprocess
+
+
+@dataclasses.dataclass
+class Detection:
+    """One detected barcode (host-side view of the device outputs)."""
+
+    box: np.ndarray  # (4, 2) corners, input-image coords
+    class_id: int
+    class_name: str
+    score: float
+    area: int
+    center: np.ndarray
+    size: np.ndarray
+    angle_deg: float
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_hw", "channel_order"))
+def detect_program(
+    params, img, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str = "rgb"
+):
+    """The whole pipeline as one jitted program (single image)."""
+    x = preprocess(img, out_hw, channel_order)
+    logits = get_model(cfg).apply({"params": params}, x[None])[0]
+    res = postprocess(logits, cfg)
+    # rects are in grid coords; map back to the original image resolution
+    # (the reference resizes rects by the preproc scale factor, SURVEY.md §3.3)
+    return res, logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_hw", "channel_order"))
+def detect_program_batch(
+    params, imgs, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str = "rgb"
+):
+    """Batched pipeline: (B, H, W[, C]) images -> batched detection tensors."""
+
+    def one(img):
+        x = preprocess(img, out_hw, channel_order)
+        logits = get_model(cfg).apply({"params": params}, x[None])[0]
+        return postprocess(logits, cfg), logits
+
+    return jax.vmap(one)(imgs)
+
+
+class BarcodeDetector:
+    """User-facing detector mirroring the reference's inference entrypoint.
+
+    >>> det = BarcodeDetector(cfg, params)
+    >>> detections = det.detect(image)   # numpy HxW[x3] uint8/float
+    """
+
+    def __init__(self, cfg: NetConfig, params: Any, channel_order: str = "rgb"):
+        self.cfg = cfg
+        self.params = params
+        self.channel_order = channel_order
+
+    def detect(self, image: np.ndarray) -> list[Detection]:
+        h, w = image.shape[:2]
+        out_hw = self.cfg.grid_size(h, w)
+        res, _ = detect_program(
+            self.params, jnp.asarray(image), self.cfg, out_hw, self.channel_order
+        )
+        res = jax.device_get(res)
+        # grid -> original resolution rescale (exact when no resize happened)
+        sy = h / out_hw[0]
+        sx = w / out_hw[1]
+        rescale = np.array([sx, sy], np.float32)
+        out = []
+        for i in np.flatnonzero(res["valid"]):
+            cid = int(res["classes"][i])
+            out.append(
+                Detection(
+                    box=res["boxes"][i] * rescale,
+                    class_id=cid,
+                    class_name=(
+                        self.cfg.class_names[cid] if self.cfg.classification else ""
+                    ),
+                    score=float(res["scores"][i]),
+                    area=int(res["areas"][i]),
+                    center=res["center"][i] * rescale,
+                    size=res["size"][i] * rescale,
+                    angle_deg=float(res["angle_deg"][i]),
+                )
+            )
+        return out
+
+    def heatmap(self, image: np.ndarray) -> np.ndarray:
+        """Detection-probability heatmap at 1/scale resolution (debug/eval)."""
+        h, w = image.shape[:2]
+        out_hw = self.cfg.grid_size(h, w)
+        _, logits = detect_program(
+            self.params, jnp.asarray(image), self.cfg, out_hw, self.channel_order
+        )
+        return np.asarray(jax.nn.sigmoid(logits[..., 0]))
