@@ -1,0 +1,130 @@
+"""Data pipeline + augmentation tests (SURVEY.md §4.2/§4.3)."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ubdvss_tpu import NetConfig
+from ubdvss_tpu.data import Batches, DataConfig
+from ubdvss_tpu.markup import get_markup_reader, write_json_markup
+from ubdvss_tpu.ops.augment import (
+    AugmentConfig,
+    affine_warp,
+    augment_sample,
+    random_affine,
+    transform_points,
+)
+from ubdvss_tpu.synthetic import SyntheticMarkupReader
+
+
+def test_synthetic_reader_deterministic():
+    r1 = SyntheticMarkupReader(n_samples=3, image_hw=(64, 64), seed=7)
+    r2 = SyntheticMarkupReader(n_samples=3, image_hw=(64, 64), seed=7)
+    s1, s2 = r1.sample_at(1), r2.sample_at(1)
+    np.testing.assert_array_equal(s1.image, s2.image)
+    assert s1.types == s2.types
+    assert len(s1.objects) >= 1
+    # polygons inside the frame
+    for p in s1.polygons:
+        assert p[:, 0].min() >= -1 and p[:, 0].max() <= 65
+
+
+def test_json_and_xml_readers(tmp_path):
+    import cv2
+
+    img = np.zeros((10, 12), np.uint8)
+    cv2.imwrite(str(tmp_path / "a.png"), img)
+    write_json_markup(
+        tmp_path,
+        {"a.png": [{"type": "QRCode", "points": [[1, 1], [5, 1], [5, 5], [1, 5]]}]},
+    )
+    r = get_markup_reader("zvz-json", tmp_path)
+    (s,) = r.samples()
+    assert s.objects[0].type_name == "QRCode"
+    assert s.objects[0].points.shape == (4, 2)
+
+    xml = (
+        '<image name="a.png"><barcode type="EAN13">'
+        '<point x="0" y="0"/><point x="4" y="0"/><point x="4" y="3"/>'
+        "</barcode></image>"
+    )
+    (tmp_path / "a.xml").write_text(xml)
+    rx = get_markup_reader("zvz-xml", tmp_path)
+    (sx,) = rx.samples()
+    assert sx.objects[0].type_name == "EAN13"
+    assert sx.objects[0].points.shape == (3, 2)
+
+    with pytest.raises(ValueError):
+        get_markup_reader("nope", tmp_path)
+
+
+def test_affine_roundtrip_points():
+    key = jax.random.key(0)
+    cfg = AugmentConfig()
+    m = random_affine(key, cfg, (64, 64))
+    pts = jnp.asarray(np.random.default_rng(0).uniform(0, 64, (5, 2)).astype(np.float32))
+    out = transform_points(pts, m)
+    # invertible: warp forward then backward returns original
+    from ubdvss_tpu.ops.augment import _invert_affine
+
+    back = transform_points(out, _invert_affine(m))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-3)
+
+
+def test_affine_warp_identity_and_shift():
+    img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4))
+    ident = jnp.asarray([[1.0, 0, 0], [0, 1, 0]])
+    np.testing.assert_allclose(np.asarray(affine_warp(img, ident, 0.0)), np.asarray(img))
+    shift = jnp.asarray([[1.0, 0, 1.0], [0, 1, 0]])  # move right by 1
+    w = np.asarray(affine_warp(img, shift, -1.0))
+    np.testing.assert_allclose(w[:, 1:], np.asarray(img)[:, :-1])
+    np.testing.assert_allclose(w[:, 0], -1.0)  # fill
+
+
+def test_augment_deterministic_under_key():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 255, (32, 32)).astype(np.float32))
+    polys = jnp.asarray(rng.uniform(0, 32, (2, 4, 2)).astype(np.float32))
+    cfg = AugmentConfig()
+    k = jax.random.key(42)
+    i1, p1 = augment_sample(k, img, polys, cfg)
+    i2, p2 = augment_sample(k, img, polys, cfg)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    i3, _ = augment_sample(jax.random.key(43), img, polys, cfg)
+    assert not np.allclose(np.asarray(i1), np.asarray(i3))
+
+
+def test_batches_contract():
+    cfg = NetConfig()
+    reader = SyntheticMarkupReader(n_samples=10, image_hw=(96, 128), seed=3)
+    dc = DataConfig(batch_size=4, train_hw=(64, 64), seed=0)
+    batches = Batches(reader, cfg, dc, train=True)
+    assert len(batches) == 2
+    got = list(batches.epoch(0))
+    assert len(got) == 2
+    b = got[0]
+    assert b["images"].shape == (4, 64, 64, 1)
+    assert b["segmap"].shape == (4, 16, 16)
+    assert b["images"].dtype == jnp.float32
+    x = np.asarray(b["images"])
+    assert x.min() >= -1.0 - 1e-6 and x.max() <= 1.0 + 1e-6
+    seg = np.asarray(b["segmap"])
+    assert seg.min() >= 0 and seg.max() <= cfg.n_classes
+    assert (seg > 0).any()  # some barcode pixels present
+    # deterministic epoch under same seed/epoch index
+    got2 = list(batches.epoch(0))
+    np.testing.assert_array_equal(np.asarray(got[0]["images"]), np.asarray(got2[0]["images"]))
+
+
+def test_batches_eval_no_augment():
+    cfg = NetConfig()
+    reader = SyntheticMarkupReader(n_samples=4, image_hw=(64, 64), seed=5)
+    dc = DataConfig(batch_size=2, train_hw=(64, 64), shuffle=False)
+    ev = Batches(reader, cfg, dc, train=False)
+    b1 = next(iter(ev.epoch(0)))
+    b2 = next(iter(ev.epoch(1)))
+    np.testing.assert_array_equal(np.asarray(b1["images"]), np.asarray(b2["images"]))

@@ -1,0 +1,186 @@
+"""Input pipeline: markup samples → batched device tensors + GT segmaps.
+
+Mirrors the reference's Keras ``Sequence`` data generator (SURVEY.md §1 L4,
+§3.1) with the host/device split inverted, per BASELINE.json north_star:
+the host only *loads* bytes (image decode is inherently host work); all
+numeric preprocessing — grayscale, resize-to-grid, normalize, augmentation,
+polygon rasterization into target maps — runs on device inside jitted
+programs, so the accelerator never waits on OpenCV.
+
+Batch contract (static shapes, cfg-bounded):
+  images:   (B, H, W, 1) f32 normalized [-1, 1]
+  segmap:   (B, H/scale, W/scale) int32, 0 bg / 1+class_idx
+  (polys padded to (B, max_polys, max_verts, 2) with counts; kept for eval)
+
+Heterogeneous image sizes are normalized to ``train_hw`` on device, one
+resize program per distinct source shape (cached by jit); datasets with one
+dominant shape (synthetic, document scans) compile exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ubdvss_tpu.markup import MarkupReader, Sample
+from ubdvss_tpu.net_config import NetConfig
+from ubdvss_tpu.ops.augment import AugmentConfig, augment_batch
+from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
+from ubdvss_tpu.ops.rasterize import rasterize_polygons
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    batch_size: int = 8
+    train_hw: tuple[int, int] = (256, 256)
+    max_polys: int = 8
+    max_verts: int = 8
+    augment: AugmentConfig | None = AugmentConfig()
+    shuffle: bool = True
+    seed: int = 0
+    drop_remainder: bool = True
+
+
+def load_image(sample: Sample) -> np.ndarray:
+    """Host-side byte loading only (decode). Returns (H, W) or (H, W, 3)."""
+    if sample.image is not None:
+        return sample.image
+    import cv2
+
+    img = cv2.imread(sample.image_path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(sample.image_path)
+    if img.ndim == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    return img
+
+
+def pad_polygons(
+    sample: Sample, net_cfg: NetConfig, max_polys: int, max_verts: int
+):
+    """(P, V, 2) f32 polys (input coords), (P,) counts, (P,) 1+class ids."""
+    polys = np.zeros((max_polys, max_verts, 2), np.float32)
+    n_verts = np.zeros(max_polys, np.int32)
+    class_ids = np.zeros(max_polys, np.int32)
+    for i, obj in enumerate(sample.objects[:max_polys]):
+        pts = obj.points[:max_verts]
+        polys[i, : len(pts)] = pts
+        n_verts[i] = len(pts)
+        if net_cfg.classification:
+            class_ids[i] = 1 + net_cfg.class_index(obj.type_name)
+        else:
+            class_ids[i] = 1
+    return polys, n_verts, class_ids
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _to_train_shape(img: jax.Array, polys: jax.Array, out_hw: tuple[int, int]):
+    """Grayscale + resize to the common train shape; scale polys to match."""
+    x = img.astype(jnp.float32)
+    if x.ndim == 3:
+        x = rgb_to_grayscale(x, "rgb")
+    h, w = x.shape
+    x = resize_bilinear(x, out_hw)
+    sx = out_hw[1] / w
+    sy = out_hw[0] / h
+    return x, polys * jnp.array([sx, sy], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("net_cfg", "data_cfg", "train"))
+def device_batch_step(
+    key: jax.Array,
+    imgs: jax.Array,
+    polys: jax.Array,
+    n_verts: jax.Array,
+    class_ids: jax.Array,
+    net_cfg: NetConfig,
+    data_cfg: DataConfig,
+    train: bool,
+):
+    """All on-device batch processing: augment → normalize → rasterize.
+
+    imgs: (B, H, W) f32 [0, 255] at train_hw.  Returns the batch contract.
+    """
+    if train and data_cfg.augment is not None:
+        imgs, polys = augment_batch(key, imgs, polys, data_cfg.augment)
+    x = normalize(imgs)[..., None]
+    ho = data_cfg.train_hw[0] // net_cfg.scale
+    wo = data_cfg.train_hw[1] // net_cfg.scale
+    grid_polys = jnp.round(polys / jnp.float32(net_cfg.scale))
+    segmap = jax.vmap(
+        lambda p, nv, ci: rasterize_polygons(p, nv, ci, (ho, wo))
+    )(grid_polys, n_verts, class_ids)
+    return {"images": x, "segmap": segmap, "polys": polys, "n_verts": n_verts,
+            "class_ids": class_ids}
+
+
+class Batches:
+    """Iterable over device-ready batches (the reference's generator role)."""
+
+    def __init__(
+        self,
+        reader: MarkupReader,
+        net_cfg: NetConfig,
+        data_cfg: DataConfig,
+        train: bool = True,
+    ):
+        self.reader = reader
+        self.net_cfg = net_cfg
+        self.data_cfg = data_cfg
+        self.train = train
+        self._samples = reader.samples()
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self._samples)
+        b = self.data_cfg.batch_size
+        return n // b if self.data_cfg.drop_remainder else -(-n // b)
+
+    def _host_collate(self, samples: list[Sample]):
+        cfg, dc = self.net_cfg, self.data_cfg
+        imgs, polys, nvs, cids = [], [], [], []
+        for s in samples:
+            img = load_image(s)
+            p, nv, ci = pad_polygons(s, cfg, dc.max_polys, dc.max_verts)
+            x, p = _to_train_shape(jnp.asarray(img), jnp.asarray(p), dc.train_hw)
+            imgs.append(x)
+            polys.append(p)
+            nvs.append(nv)
+            cids.append(ci)
+        return (
+            jnp.stack(imgs),
+            jnp.stack(polys),
+            jnp.asarray(np.stack(nvs)),
+            jnp.asarray(np.stack(cids)),
+        )
+
+    def epoch(self, epoch: int | None = None) -> Iterator[dict]:
+        dc = self.data_cfg
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        order = np.arange(len(self._samples))
+        rng = np.random.default_rng(dc.seed + epoch)
+        if dc.shuffle and self.train:
+            rng.shuffle(order)
+        b = dc.batch_size
+        n_batches = len(self)
+        key = jax.random.key(dc.seed * 7919 + epoch)
+        for bi in range(n_batches):
+            idx = order[bi * b : (bi + 1) * b]
+            if len(idx) < b and dc.drop_remainder:
+                break
+            batch_samples = [self._samples[i] for i in idx]
+            imgs, polys, nvs, cids = self._host_collate(batch_samples)
+            bkey = jax.random.fold_in(key, bi)
+            yield device_batch_step(
+                bkey, imgs, polys, nvs, cids, self.net_cfg, dc, self.train
+            )
+
+    def __iter__(self):
+        return self.epoch()

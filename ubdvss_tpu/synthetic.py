@@ -1,0 +1,149 @@
+"""Procedural barcode-like dataset generator.
+
+The stand-in for the reference's ZVZ-real/ZVZ-synth datasets (paper §4.1),
+which are not available offline (SURVEY.md §0).  Produces document-like
+grayscale scenes with rotated barcode rectangles: 1D codes render as
+alternating stripes, 2D codes as random module grids, postal codes as short
+bar runs — enough texture for the FCN to learn the detection/classification
+task end-to-end in integration tests (SURVEY.md §4.4: synthetic-overfit
+must reach F1=1.0) and for benchmarks.
+
+Ground truth is exact by construction: each object's 4-corner polygon in
+input coords plus its class name, exposed through the standard markup
+``Sample`` interface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ubdvss_tpu.markup import BarcodeObject, MarkupReader, Sample
+from ubdvss_tpu.net_config import CLASS_GROUPS, DEFAULT_CLASS_NAMES
+
+
+def _render_barcode(rng: np.random.Generator, w: int, h: int, group: str) -> np.ndarray:
+    """A (h, w) uint8 barcode texture, dark modules on light quiet zone."""
+    img = np.full((h, w), 255, np.uint8)
+    if group == "1D":
+        n_bars = max(8, w // 3)
+        widths = rng.integers(1, 4, n_bars)
+        xs = np.cumsum(widths)
+        xs = (xs / max(xs[-1], 1) * (w - 2)).astype(int)
+        dark = True
+        prev = 1
+        for x in xs:
+            if dark:
+                img[1 : h - 1, prev : max(x, prev + 1)] = 0
+            dark = not dark
+            prev = x
+    elif group == "postal":
+        n_bars = max(6, w // 4)
+        xs = np.linspace(1, w - 2, n_bars).astype(int)
+        for x in xs:
+            bh = int(h * rng.choice([0.5, 1.0]) * 0.8)
+            img[(h - bh) // 2 : (h + bh) // 2, x : x + 2] = 0
+    else:  # 2D
+        mod = max(2, min(w, h) // rng.integers(8, 16))
+        gh, gw = max(1, (h - 2) // mod), max(1, (w - 2) // mod)
+        grid = rng.random((gh, gw)) < 0.5
+        tex = np.kron(grid, np.ones((mod, mod), bool))[: h - 2, : w - 2]
+        img[1 : 1 + tex.shape[0], 1 : 1 + tex.shape[1]][tex] = 0
+    return img
+
+
+def _group_of(name: str) -> str:
+    for g, names in CLASS_GROUPS.items():
+        if name in names:
+            return g
+    return "2D"
+
+
+def generate_sample(
+    rng: np.random.Generator,
+    hw: tuple[int, int] = (256, 256),
+    n_objects: tuple[int, int] = (1, 4),
+    class_names: tuple[str, ...] = DEFAULT_CLASS_NAMES,
+    margin: int = 8,
+) -> Sample:
+    """One synthetic scene: background + rotated barcode rects + exact GT."""
+    H, W = hw
+    # paper-ish document background: light gray with smooth noise
+    base = rng.uniform(170, 240)
+    img = np.full((H, W), base, np.float32)
+    img += rng.normal(0, 6, (H, W))
+    objects: list[BarcodeObject] = []
+    n = int(rng.integers(n_objects[0], n_objects[1] + 1))
+    for _ in range(n):
+        name = str(rng.choice(class_names))
+        group = _group_of(name)
+        bw = int(rng.integers(40, max(41, W // 3)))
+        bh = int(rng.integers(24, max(25, H // 4)))
+        if group == "postal":
+            bh = max(12, bh // 2)
+        tex = _render_barcode(rng, bw, bh, group)
+        ang = float(rng.uniform(-30, 30)) if rng.random() < 0.5 else 0.0
+        c, s = np.cos(np.radians(ang)), np.sin(np.radians(ang))
+        rot = np.array([[c, -s], [s, c]], np.float32)
+        half = np.array([bw / 2, bh / 2], np.float32)
+        ext = np.abs(rot) @ half  # rotated half-extent
+        cx = float(rng.uniform(margin + ext[0], W - margin - ext[0])) if W > 2 * (margin + ext[0]) else W / 2
+        cy = float(rng.uniform(margin + ext[1], H - margin - ext[1])) if H > 2 * (margin + ext[1]) else H / 2
+        corners = (
+            np.array(
+                [[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float32
+            )
+            * half
+        ) @ rot.T + [cx, cy]
+        # paste with nearest-neighbor inverse mapping (host-side, tiny)
+        y0, y1 = max(0, int(cy - ext[1]) - 1), min(H, int(cy + ext[1]) + 2)
+        x0, x1 = max(0, int(cx - ext[0]) - 1), min(W, int(cx + ext[0]) + 2)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        rel = np.stack([xx - cx, yy - cy], -1) @ rot  # inverse rotate
+        u = rel[..., 0] + bw / 2
+        v = rel[..., 1] + bh / 2
+        inside = (u >= 0) & (u < bw) & (v >= 0) & (v < bh)
+        ui = np.clip(u.astype(int), 0, bw - 1)
+        vi = np.clip(v.astype(int), 0, bh - 1)
+        patch = img[y0:y1, x0:x1]
+        patch[inside] = tex[vi[inside], ui[inside]].astype(np.float32)
+        img[y0:y1, x0:x1] = patch
+        objects.append(BarcodeObject(points=corners.astype(np.float32), type_name=name))
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return Sample(image_path="<synthetic>", objects=objects, image=img)
+
+
+class SyntheticMarkupReader(MarkupReader):
+    """Deterministic synthetic dataset behind the MarkupReader interface.
+
+    ``root`` is accepted (and ignored) for factory-signature compatibility.
+    """
+
+    def __init__(
+        self,
+        root=None,
+        n_samples: int = 64,
+        image_hw: tuple[int, int] = (256, 256),
+        seed: int = 0,
+        class_names: tuple[str, ...] = DEFAULT_CLASS_NAMES,
+        n_objects: tuple[int, int] = (1, 4),
+    ):
+        self.n_samples = n_samples
+        self.image_hw = image_hw
+        self.seed = seed
+        self.class_names = class_names
+        self.n_objects = n_objects
+        self._cache: dict[int, Sample] = {}
+
+    def sample_at(self, i: int) -> Sample:
+        if i not in self._cache:
+            rng = np.random.default_rng(self.seed * 1_000_003 + i)
+            self._cache[i] = generate_sample(
+                rng, self.image_hw, self.n_objects, self.class_names
+            )
+        return self._cache[i]
+
+    def samples(self) -> list[Sample]:
+        return [self.sample_at(i) for i in range(self.n_samples)]
+
+    def __len__(self) -> int:
+        return self.n_samples
