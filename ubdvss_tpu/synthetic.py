@@ -72,6 +72,7 @@ def generate_sample(
     img = np.full((H, W), base, np.float32)
     img += rng.normal(0, 6, (H, W))
     objects: list[BarcodeObject] = []
+    placed_aabbs: list[tuple[float, float, float, float]] = []
     n = int(rng.integers(n_objects[0], n_objects[1] + 1))
     for _ in range(n):
         name = str(rng.choice(class_names))
@@ -86,8 +87,22 @@ def generate_sample(
         rot = np.array([[c, -s], [s, c]], np.float32)
         half = np.array([bw / 2, bh / 2], np.float32)
         ext = np.abs(rot) @ half  # rotated half-extent
-        cx = float(rng.uniform(margin + ext[0], W - margin - ext[0])) if W > 2 * (margin + ext[0]) else W / 2
-        cy = float(rng.uniform(margin + ext[1], H - margin - ext[1])) if H > 2 * (margin + ext[1]) else H / 2
+        # rejection-sample a non-overlapping placement (objects must stay
+        # separable components; the paper's scenes have disjoint barcodes)
+        cx = cy = None
+        for _try in range(20):
+            tx = float(rng.uniform(margin + ext[0], W - margin - ext[0])) if W > 2 * (margin + ext[0]) else W / 2
+            ty = float(rng.uniform(margin + ext[1], H - margin - ext[1])) if H > 2 * (margin + ext[1]) else H / 2
+            aabb = (tx - ext[0] - 6, ty - ext[1] - 6, tx + ext[0] + 6, ty + ext[1] + 6)
+            if all(
+                aabb[2] < o[0] or o[2] < aabb[0] or aabb[3] < o[1] or o[3] < aabb[1]
+                for o in placed_aabbs
+            ):
+                cx, cy = tx, ty
+                placed_aabbs.append(aabb)
+                break
+        if cx is None:
+            continue  # no room left; fewer objects in this scene
         corners = (
             np.array(
                 [[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float32

@@ -1,0 +1,75 @@
+"""Checkpoint save/restore via orbax (SURVEY.md §5 "Checkpoint / resume").
+
+The reference uses Keras ``ModelCheckpoint`` h5 files + ``load_weights``
+resume (SURVEY.md §3.5).  Here: orbax checkpoints of the full train state —
+params, optimizer state, step counter and data-PRNG key — with
+resume-from-latest on restart (the appropriate fault-tolerance scale for
+this workload, SURVEY.md §5 "Failure detection").  A ``save_params_npz`` /
+``load_params_npz`` pair provides a portable flat-file weight format used
+for oracle interchange (the h5-import analog).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str | os.PathLike) -> str:
+    return str(Path(path).resolve())
+
+
+class CheckpointManager:
+    """Thin orbax CheckpointManager wrapper: save/restore train state."""
+
+    def __init__(self, directory: str | os.PathLike, max_to_keep: int = 3):
+        self._mgr = ocp.CheckpointManager(
+            _abs(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, target: Any, step: int | None = None) -> Any:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params_npz(path: str | os.PathLike, params: Any) -> None:
+    """Portable flat weight file (oracle interchange; h5-import analog)."""
+    flat = {
+        "/".join(str(k.key) for k in kp): np.asarray(v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str | os.PathLike, like: Any) -> Any:
+    data = np.load(path)
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(like)[0]
+    treedef = jax.tree_util.tree_structure(like)
+    leaves = []
+    for kp, old in leaves_with_path:
+        key = "/".join(str(k.key) for k in kp)
+        arr = data[key]
+        assert arr.shape == old.shape, (key, arr.shape, old.shape)
+        leaves.append(arr.astype(old.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
