@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark (BASELINE.md binding target).
+
+Measures 512x512 images/sec/chip for the full fused pipeline
+preproc -> FCN -> on-device postprocessing (boxes off the chip), on the
+default JAX device (the TPU v5e chip under the driver).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "img/s", "vs_baseline": N/5000}
+vs_baseline is relative to the BASELINE.json target of >=5000 img/s/chip
+(the reference's own GPU figure is ~260 img/s, BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--postproc", default="on", choices=["on", "off"],
+                   help="off = preproc+FCN only (diagnostic)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ubdvss_tpu import NetConfig, init_params
+    from ubdvss_tpu.inference import detect_program_batch
+    from ubdvss_tpu.models.model import get_model
+    from ubdvss_tpu.ops.preproc import preprocess
+
+    cfg = NetConfig(dtype=args.dtype)
+    params = init_params(cfg, 0)
+    if args.dtype == "bfloat16":
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    B, S = args.batch_size, args.image_size
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (B, S, S), dtype=np.uint8))
+
+    if args.postproc == "on":
+        def run(imgs):
+            res, _ = detect_program_batch(params, imgs, cfg, (S, S))
+            return res["boxes"], res["valid"], res["classes"], res["scores"]
+    else:
+        model = get_model(cfg)
+
+        @jax.jit
+        def run(imgs):
+            x = jax.vmap(lambda im: preprocess(im, (S, S)))(imgs)
+            return model.apply({"params": params}, x)
+
+    # warmup / compile
+    for _ in range(args.warmup):
+        out = run(imgs)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = run(imgs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = B * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"images_per_sec_{S}_e2e_per_chip"
+                + ("" if args.postproc == "on" else "_nopostproc"),
+                "value": round(ips, 1),
+                "unit": "img/s",
+                "vs_baseline": round(ips / 5000.0, 4),
+            }
+        )
+    )
+    return ips
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() > 0 else 1)

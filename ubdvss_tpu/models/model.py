@@ -96,8 +96,20 @@ class BarcodeFCN(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, boundary_mask=None):
+        """Forward pass.
+
+        boundary_mask: optional (B, H, W, 1) 0/1 float marking pixels inside
+        the *global* image when ``x`` is a halo-padded tile of a larger
+        image (parallel/tiling.py).  Re-zeroing masked rows after every
+        layer reproduces whole-image SAME-padding semantics exactly at tile
+        boundaries; None (the default) adds no ops.
+        """
         x = x.astype(self.dtype)
+        m = None
+        if boundary_mask is not None:
+            m = boundary_mask.astype(self.dtype)
+            x = x * m
         # Downscale module: output stride 4 [paper §3.2].
         for i in range(2):
             x = nn.Conv(
@@ -110,6 +122,9 @@ class BarcodeFCN(nn.Module):
                 name=f"downscale_{i}",
             )(x)
             x = nn.relu(x)
+            if m is not None:
+                m = m[:, ::2, ::2]
+                x = x * m
         # Dilated context module [paper §3.2; Yu & Koltun 2016].
         for i, d in enumerate(self.dilations):
             if self.separable_context:
@@ -131,6 +146,8 @@ class BarcodeFCN(nn.Module):
                     name=f"context_{i}",
                 )(x)
             x = nn.relu(x)
+            if m is not None:
+                x = x * m
         # 1x1 head: detection + classification logits [paper §3.2].
         x = nn.Conv(
             features=self.n_output_channels,

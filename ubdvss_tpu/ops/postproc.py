@@ -31,6 +31,49 @@ from ubdvss_tpu.ops.ccl import connected_components
 from ubdvss_tpu.ops.rect import min_area_rect_from_mask_stack
 
 
+def finish_postprocess(logits: jax.Array, labels: jax.Array, cfg: NetConfig) -> dict:
+    """Tail of the pipeline given precomputed CC labels (1..N raster order).
+
+    Shared between the single-device path and the spatially-tiled
+    distributed path (parallel/tiling.py), which computes labels with a
+    halo-exchanged cross-tile CCL before gathering.
+    """
+    det_prob = jax.nn.sigmoid(logits[..., 0])
+    K = cfg.max_components
+    eq = labels[..., None] == jnp.arange(1, K + 1, dtype=jnp.int32)
+    eqf = eq.astype(jnp.float32)
+    areas = jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)  # (K,)
+    big_enough = areas >= cfg.min_component_area
+    valid = (areas > 0) & big_enough
+
+    safe_area = jnp.maximum(areas, 1).astype(jnp.float32)
+    scores = jnp.einsum("hwk,hw->k", eqf, det_prob) / safe_area
+
+    if cfg.classification and logits.shape[-1] > 1:
+        cls_prob = jax.nn.softmax(logits[..., 1:], axis=-1)
+        mean_cls = jnp.einsum("hwk,hwc->kc", eqf, cls_prob) / safe_area[:, None]
+        classes = jnp.argmax(mean_cls, axis=-1).astype(jnp.int32)
+        class_probs = mean_cls
+    else:
+        classes = jnp.zeros((K,), jnp.int32)
+        class_probs = jnp.ones((K, 1), jnp.float32)
+
+    rects = min_area_rect_from_mask_stack(eq)
+    s = jnp.float32(cfg.scale)
+    return {
+        "boxes": rects["points"] * s,
+        "center": rects["center"] * s,
+        "size": rects["size"] * s,
+        "angle_deg": rects["angle_deg"],
+        "classes": classes,
+        "class_probs": class_probs,
+        "scores": scores,
+        "areas": areas,
+        "valid": valid & rects["valid"],
+        "num_detections": jnp.sum(valid & rects["valid"]).astype(jnp.int32),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "connectivity"))
 def postprocess(logits: jax.Array, cfg: NetConfig, connectivity: int = 8) -> dict:
     """Extract detections from one image's output logits.
