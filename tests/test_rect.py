@@ -134,3 +134,49 @@ def test_mask_stack_rects_vs_cv2():
     np.testing.assert_allclose(np.asarray(res["center"])[2], [5, 32], atol=1e-5)
     np.testing.assert_allclose(np.asarray(res["size"])[2], [0, 0], atol=1e-5)
     assert not bool(np.asarray(res["valid"])[3])
+
+
+def test_scan_path_vs_serial_reference_fuzz():
+    """Production scan-based rect path vs the serial monotone-chain reference
+    and cv2, on random multi-blob masks."""
+    import jax.numpy as jnp
+
+    from ubdvss_tpu.ops.rect import min_area_rect_from_extremes
+
+    rng = np.random.default_rng(7)
+    H = W = 40
+    for trial in range(6):
+        mask = np.zeros((H, W), bool)
+        yy, xx = np.mgrid[:H, :W]
+        for _ in range(3):
+            cy, cx = rng.integers(5, 35, 2)
+            ry, rx = rng.integers(1, 7, 2)
+            ang = rng.uniform(0, np.pi)
+            dy, dx = yy - cy, xx - cx
+            u = dy * np.cos(ang) - dx * np.sin(ang)
+            v = dy * np.sin(ang) + dx * np.cos(ang)
+            mask |= (np.abs(u) <= ry) & (np.abs(v) <= rx)
+        minx = np.where(mask, xx, 10**6).min(1)
+        maxx = np.where(mask, xx, -1).max(1)
+        rowv = mask.any(1)
+        res = min_area_rect_from_extremes(
+            jnp.asarray(minx, jnp.int32)[None],
+            jnp.asarray(maxx, jnp.int32)[None],
+            jnp.asarray(rowv)[None],
+        )
+        res = {k: np.asarray(v)[0] for k, v in res.items()}
+        if not rowv.any():
+            assert not res["valid"]
+            continue
+        pts = np.argwhere(mask)[:, ::-1]
+        _assert_rect_matches(res, pts)
+        # serial reference agreement (area identical to 1e-4)
+        cand = np.stack(
+            [np.concatenate([minx, maxx]), np.concatenate([np.arange(H)] * 2)], 1
+        ).astype(np.int32)
+        hull, m = monotone_chain_hull(
+            jnp.asarray(np.where(np.concatenate([rowv, rowv])[:, None], cand, 0)),
+            jnp.asarray(np.concatenate([rowv, rowv])),
+        )
+        ref = min_area_rect(hull, m)
+        assert abs(float(np.prod(res["size"])) - float(np.prod(np.asarray(ref["size"])))) < 1e-3

@@ -37,6 +37,211 @@ from jax import lax
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+# ---------------------------------------------------------------------------
+# Scan-based (gather-free, loop-free) production path.
+#
+# The serial monotone chain below (`monotone_chain_hull`) is exact but runs a
+# sequential fori/while stack — measured ~30ms/image on TPU.  The production
+# path instead computes each hull chain as a *convex envelope by parallel
+# concave-point elimination*: a per-row extreme point is deleted when it lies
+# strictly outside the chord of its nearest surviving neighbors; rounds of
+# simultaneous deletion (neighbors found with log-depth segmented scans, no
+# gathers) converge to exactly the envelope vertices + collinear points.
+#   - hull vertices are never deleted: the chord of any two points on/inside
+#     a convex envelope lies on/inside it;
+#   - a stable set (no deletions) has every consecutive triple convex, hence
+#     is globally convex == the envelope.
+# Deletion tests use exact int32 arithmetic, so there are no fp tie issues.
+# The caliper search then evaluates every surviving chain edge direction
+# (a superset never below the true minimum, since min area over all
+# directions is achieved at a hull edge) — one masked matmul + VPU min/max.
+# ---------------------------------------------------------------------------
+
+
+def _scan_neighbor(x, y, alive, axis, reverse):
+    """For each slot: coords of nearest alive slot strictly before it in scan
+    order (after it when reverse=True), via one log-depth scan + shift."""
+
+    def comb(a, b):
+        ax, ay, ah = a
+        bx, by, bh = b
+        return (
+            jnp.where(bh, bx, ax),
+            jnp.where(bh, by, ay),
+            ah | bh,
+        )
+
+    ix, iy, ih = lax.associative_scan(
+        comb,
+        (jnp.where(alive, x, 0), jnp.where(alive, y, 0), alive),
+        axis=axis,
+        reverse=reverse,
+    )
+    # make exclusive: shift one step along scan direction
+    shift = -1 if reverse else 1
+    ex = jnp.roll(ix, shift, axis=axis)
+    ey = jnp.roll(iy, shift, axis=axis)
+    eh = jnp.roll(ih, shift, axis=axis)
+    # zero the wrapped slot
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(-1, None) if reverse else slice(0, 1)
+    eh = eh.at[tuple(idx)].set(False)
+    return ex, ey, eh
+
+
+def _convexify_chain(x, alive, sign, max_rounds=None):
+    """Keep only convex-envelope points of the monotone chain (x[r], r).
+
+    Args:
+      x: (..., H) int32 chain x-coords per row.
+      alive: (..., H) bool initial validity.
+      sign: +1 deletes points strictly right of the neighbor chord (left/min
+        chain), -1 deletes strictly left (right/max chain).
+    Returns final alive mask.
+    """
+    H = x.shape[-1]
+    y = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), x.shape)
+    if max_rounds is None:
+        max_rounds = H
+
+    def body(state):
+        alive, _, it = state
+        px, py, ph = _scan_neighbor(x, y, alive, x.ndim - 1, reverse=False)
+        nx, ny, nh = _scan_neighbor(x, y, alive, x.ndim - 1, reverse=True)
+        # cross = (P - A) x (B - A) with A=prev, B=next, P=self (int32 exact)
+        cross = (x - px) * (ny - py) - (y - py) * (nx - px)
+        concave = alive & ph & nh & (sign * cross > 0)
+        new_alive = alive & ~concave
+        return new_alive, jnp.any(concave), it + 1
+
+    alive, _, _ = lax.while_loop(
+        lambda s: s[1] & (s[2] < max_rounds),
+        body,
+        (alive, jnp.array(True), jnp.array(0)),
+    )
+    return alive
+
+
+def min_area_rect_from_extremes(
+    minx: jax.Array, maxx: jax.Array, rowvalid: jax.Array
+) -> dict:
+    """Exact min-area rect from per-row component extremes, fully vectorized.
+
+    Args:
+      minx/maxx: (..., H) int32 per-row extreme x (any value where invalid).
+      rowvalid: (..., H) bool rows containing the component.
+    Returns dict with leading dims (...): points (4,2), center, size,
+    angle_deg, valid — same contract/conventions as ``min_area_rect``.
+    """
+    H = minx.shape[-1]
+    y = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), minx.shape)
+    minx = jnp.where(rowvalid, minx, 0).astype(jnp.int32)
+    maxx = jnp.where(rowvalid, maxx, 0).astype(jnp.int32)
+
+    alive_l = _convexify_chain(minx, rowvalid, +1)
+    alive_r = _convexify_chain(maxx, rowvalid, -1)
+
+    # chain edges: self -> next surviving point (exact hull edge directions)
+    def chain_edges(x, alive):
+        nx, ny, nh = _scan_neighbor(x, y, alive, minx.ndim - 1, reverse=True)
+        ex = (nx - x).astype(jnp.float32)
+        ey = (ny - y).astype(jnp.float32)
+        ok = alive & nh
+        return ex, ey, ok
+
+    lex, ley, lok = chain_edges(minx, alive_l)
+    rex, rey, rok = chain_edges(maxx, alive_r)
+
+    # horizontal edges exist iff the top/bottom row has two distinct extremes
+    pxf, _, phf = _scan_neighbor(minx, y, rowvalid, minx.ndim - 1, reverse=False)
+    first_row = rowvalid & ~phf  # the topmost valid row flag per slot
+    nxf, _, nhf = _scan_neighbor(minx, y, rowvalid, minx.ndim - 1, reverse=True)
+    last_row = rowvalid & ~nhf
+    horiz_ok = jnp.any((first_row | last_row) & (maxx > minx), axis=-1)
+
+    ex = jnp.concatenate(
+        [lex, rex, jnp.ones_like(minx[..., :1], jnp.float32)], axis=-1
+    )
+    ey = jnp.concatenate(
+        [ley, rey, jnp.zeros_like(minx[..., :1], jnp.float32)], axis=-1
+    )
+    eok = jnp.concatenate([lok, rok, horiz_ok[..., None]], axis=-1)
+    elen = jnp.sqrt(ex * ex + ey * ey)
+    good = eok & (elen > 0)
+    inv = 1.0 / jnp.maximum(elen, 1e-30)
+    ux = ex * inv
+    uy = ey * inv  # edge dir; v = (-uy, ux)
+
+    # candidate points: both chains' per-row extremes (masked)
+    pxs = jnp.concatenate([minx, maxx], axis=-1).astype(jnp.float32)
+    pys = jnp.concatenate([y, y], axis=-1).astype(jnp.float32)
+    pok = jnp.concatenate([rowvalid, rowvalid], axis=-1)
+
+    # projections: (..., D, P)
+    pu = ux[..., :, None] * pxs[..., None, :] + uy[..., :, None] * pys[..., None, :]
+    pv = -uy[..., :, None] * pxs[..., None, :] + ux[..., :, None] * pys[..., None, :]
+    inf = jnp.float32(3.4e38)
+    pm = pok[..., None, :]
+    min_u = jnp.min(jnp.where(pm, pu, inf), axis=-1)
+    max_u = jnp.max(jnp.where(pm, pu, -inf), axis=-1)
+    min_v = jnp.min(jnp.where(pm, pv, inf), axis=-1)
+    max_v = jnp.max(jnp.where(pm, pv, -inf), axis=-1)
+    w = max_u - min_u
+    ht = max_v - min_v
+    area = jnp.where(good, w * ht, inf)
+
+    amin = jnp.min(area, axis=-1, keepdims=True)
+    tie = good & (area <= amin * (1.0 + 1e-6) + 1e-9)
+    phi = jnp.mod(-jnp.degrees(jnp.arctan2(ey, ex)), 90.0)
+    best = jnp.argmin(jnp.where(tie, phi, inf), axis=-1)
+
+    def take(a):
+        return jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
+
+    ubx, uby = take(ux), take(uy)
+    c_u = 0.5 * (take(min_u) + take(max_u))
+    c_v = 0.5 * (take(min_v) + take(max_v))
+    cx = c_u * ubx - c_v * uby
+    cy = c_u * uby + c_v * ubx
+    bw = take(w)
+    bh = take(ht)
+    angle = jnp.degrees(jnp.arctan2(uby, ubx)) % 180.0
+
+    hw_x = 0.5 * bw * ubx
+    hw_y = 0.5 * bw * uby
+    hh_x = -0.5 * bh * uby
+    hh_y = 0.5 * bh * ubx
+    signs = jnp.asarray(
+        [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], jnp.float32
+    )
+    corners_x = cx[..., None] + signs[:, 0] * hw_x[..., None] + signs[:, 1] * hh_x[..., None]
+    corners_y = cy[..., None] + signs[:, 0] * hw_y[..., None] + signs[:, 1] * hh_y[..., None]
+    corners = jnp.stack([corners_x, corners_y], axis=-1)  # (..., 4, 2)
+
+    any_edge = jnp.any(good, axis=-1)
+    n_rows = jnp.sum(rowvalid, axis=-1)
+    valid = n_rows > 0
+    # degenerate single point: the first valid row's minx
+    p0x = jnp.sum(jnp.where(first_row, minx, 0), axis=-1).astype(jnp.float32)
+    p0y = jnp.sum(jnp.where(first_row, y, 0), axis=-1).astype(jnp.float32)
+    cx = jnp.where(any_edge, cx, p0x)
+    cy = jnp.where(any_edge, cy, p0y)
+    bw = jnp.where(any_edge, bw, 0.0)
+    bh = jnp.where(any_edge, bh, 0.0)
+    angle = jnp.where(any_edge, angle, 0.0)
+    pt = jnp.stack([p0x, p0y], axis=-1)
+    corners = jnp.where(
+        any_edge[..., None, None], corners, pt[..., None, :] * jnp.ones((4, 1))
+    )
+    return {
+        "points": corners,
+        "center": jnp.stack([cx, cy], axis=-1),
+        "size": jnp.stack([bw, bh], axis=-1),
+        "angle_deg": angle,
+        "valid": valid,
+    }
+
+
 def monotone_chain_hull(pts: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Convex hull of masked integer points via Andrew's monotone chain.
 
@@ -201,19 +406,8 @@ def min_area_rect_from_mask_stack(eq: jax.Array) -> dict:
     """
     H, W, K = eq.shape
     cols = jnp.arange(W, dtype=jnp.int32)
-    rows = jnp.arange(H, dtype=jnp.int32)
-    # Per-row extremes per component: (H, K)
-    minx = jnp.min(jnp.where(eq, cols[None, :, None], _INT_MAX), axis=1)
-    maxx = jnp.max(jnp.where(eq, cols[None, :, None], -1), axis=1)
-    row_any = jnp.any(eq, axis=1)  # (H, K)
-
-    # Candidate points: (2H, 2) per component = (x=minx,y) ++ (x=maxx,y).
-    def per_component(minx_k, maxx_k, row_any_k):
-        ptx = jnp.concatenate([minx_k, maxx_k])
-        pty = jnp.concatenate([rows, rows])
-        pts = jnp.stack([ptx, pty], axis=1).astype(jnp.int32)
-        valid = jnp.concatenate([row_any_k, row_any_k])
-        hull, m = monotone_chain_hull(pts, valid)
-        return min_area_rect(hull, m)
-
-    return jax.vmap(per_component, in_axes=(1, 1, 1))(minx, maxx, row_any)
+    # Per-row extremes per component: (K, H)
+    minx = jnp.min(jnp.where(eq, cols[None, :, None], _INT_MAX), axis=1).T
+    maxx = jnp.max(jnp.where(eq, cols[None, :, None], -1), axis=1).T
+    row_any = jnp.any(eq, axis=1).T
+    return min_area_rect_from_extremes(minx, maxx, row_any)

@@ -39,7 +39,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from ubdvss_tpu.models.model import get_model
 from ubdvss_tpu.net_config import NetConfig
-from ubdvss_tpu.ops.ccl import _neighbor_min
+from ubdvss_tpu.ops.ccl import _propagation_round
 from ubdvss_tpu.ops.postproc import finish_postprocess
 from ubdvss_tpu.ops.preproc import normalize, rgb_to_grayscale
 
@@ -63,9 +63,7 @@ def _seam_merge_ccl(lab, mask, axis, n, sentinel, connectivity, base, To, Wo):
 
     def seam_round(state):
         lab, _, it = state
-        lab = _local_ccl_to_fixpoint(
-            lab, mask, sentinel, connectivity, To + Wo, base, To * Wo
-        )
+        lab = _local_ccl_to_fixpoint(lab, mask, sentinel, connectivity, To + Wo)
         top_nb = lax.ppermute(lab[-1], axis, fwd)  # neighbor above's last row
         bot_nb = lax.ppermute(lab[0], axis, bwd)  # neighbor below's first row
         top_valid = idx > 0
@@ -147,20 +145,13 @@ def distributed_connected_components(
     return _compact_global_labels(lab_full, sentinel, Ho, Wo)
 
 
-def _local_ccl_to_fixpoint(lab, mask, sentinel, connectivity, max_iters, base, n_local):
-    """Min-label propagation within a tile, labels are global indices."""
-
-    def jump(l):
-        loc = l - base
-        in_range = (loc >= 0) & (loc < n_local) & mask
-        flat = l.reshape(-1)
-        g = flat[jnp.clip(loc, 0, n_local - 1)].reshape(l.shape)
-        return jnp.where(in_range, g, l)
+def _local_ccl_to_fixpoint(lab, mask, sentinel, connectivity, max_iters):
+    """Min-label propagation within a tile (labels carry global indices);
+    the same gather-free scan rounds as ops.ccl (see its docstring)."""
 
     def body(state):
         l, _, it = state
-        new = jnp.where(mask, _neighbor_min(l, sentinel, connectivity), sentinel)
-        new = jump(jump(new))
+        new = _propagation_round(l, mask, sentinel, connectivity)
         return new, jnp.any(new != l), it + 1
 
     def cond(state):
