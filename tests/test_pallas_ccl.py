@@ -1,0 +1,94 @@
+"""Pallas CCL kernel parity vs the XLA scan path (interpreter mode on CPU;
+the same kernel compiles natively on TPU — SURVEY.md §5 race detection:
+pallas interpreter + reference kernel cross-check)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ubdvss_tpu import NetConfig
+from ubdvss_tpu.ops.ccl import label_propagation
+from ubdvss_tpu.ops.pallas.ccl_kernel import ccl_labels_from_logits
+from ubdvss_tpu.ops.postproc import (
+    postprocess_batch,
+    postprocess_batch_fused,
+    roots_from_raw_labels,
+)
+
+
+def _blob_logits(seed, B=2, H=32, W=32, C=5):
+    rng = np.random.default_rng(seed)
+    logits = np.full((B, H, W, C), -6, np.float32)
+    for b in range(B):
+        for _ in range(3):
+            cy, cx = rng.integers(2, H - 10, 2)
+            h, w = rng.integers(3, 9, 2)
+            logits[b, cy : cy + h, cx : cx + w, 0] = 6
+            logits[b, cy : cy + h, cx : cx + w, 1 + int(rng.integers(C - 1))] = 5
+    return jnp.asarray(logits)
+
+
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_kernel_labels_match_xla(connectivity):
+    logits = _blob_logits(0)
+    lab_p = ccl_labels_from_logits(
+        logits[..., 0], connectivity=connectivity, interpret=True
+    )
+    mask = jax.nn.sigmoid(logits[..., 0]) > 0.5
+    lab_x = jax.vmap(lambda m: label_propagation(m, connectivity))(mask)
+    np.testing.assert_array_equal(np.asarray(lab_p), np.asarray(lab_x))
+
+
+def test_kernel_adversarial_masks():
+    # spiral-ish snake + checkerboard via logit patterns
+    H = W = 32
+    snake = np.full((H, W), -6, np.float32)
+    for c in range(0, W, 4):
+        snake[:, c] = 6
+        snake[0 if (c // 4) % 2 else H - 1, c : min(c + 5, W)] = 6
+    checker = np.where((np.indices((H, W)).sum(0) % 2) == 0, 6.0, -6.0).astype(
+        np.float32
+    )
+    logits = jnp.asarray(np.stack([snake, checker]))
+    lab_p = ccl_labels_from_logits(logits, interpret=True)
+    lab_x = jax.vmap(lambda m: label_propagation(m))(
+        jax.nn.sigmoid(logits) > 0.5
+    )
+    np.testing.assert_array_equal(np.asarray(lab_p), np.asarray(lab_x))
+
+
+def test_roots_ordering_matches_compaction():
+    logits = _blob_logits(1)
+    raw = ccl_labels_from_logits(logits[..., 0], interpret=True)
+    rootvals, valid = roots_from_raw_labels(raw, 8)
+    rootvals, valid = np.asarray(rootvals), np.asarray(valid)
+    # ascending order, valid prefix
+    for b in range(rootvals.shape[0]):
+        v = rootvals[b][valid[b]]
+        assert np.all(np.diff(v) > 0)
+        assert np.all(~valid[b][len(v) :])
+
+
+def test_fused_postprocess_matches_reference_path():
+    cfg = NetConfig(
+        class_names=("a", "b", "c", "d"), max_components=8, min_component_area=3
+    )
+    logits = _blob_logits(2)
+    rf = jax.device_get(postprocess_batch_fused(logits, cfg, interpret=True))
+    rx = jax.device_get(postprocess_batch(logits, cfg))
+    np.testing.assert_array_equal(rf["valid"], rx["valid"])
+    np.testing.assert_array_equal(rf["areas"], rx["areas"])
+    np.testing.assert_array_equal(rf["classes"], rx["classes"])
+    np.testing.assert_allclose(rf["scores"], rx["scores"], atol=1e-6)
+    np.testing.assert_allclose(rf["boxes"], rx["boxes"], atol=1e-4)
+    np.testing.assert_array_equal(rf["num_detections"], rx["num_detections"])
+
+
+@pytest.mark.tpu
+def test_kernel_native_tpu():
+    logits = _blob_logits(3, H=64, W=64)
+    lab_p = ccl_labels_from_logits(logits[..., 0])
+    mask = jax.nn.sigmoid(logits[..., 0]) > 0.5
+    lab_x = jax.jit(jax.vmap(lambda m: label_propagation(m)))(mask)
+    np.testing.assert_array_equal(np.asarray(lab_p), np.asarray(lab_x))

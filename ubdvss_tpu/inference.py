@@ -37,6 +37,18 @@ class Detection:
     angle_deg: float
 
 
+def _default_device_is_tpu() -> bool:
+    """True when computation will actually land on a TPU (honors an active
+    ``jax.default_device`` override, e.g. CPU-pinned tests)."""
+    try:
+        d = jax.config.jax_default_device
+        if d is not None:
+            return d.platform == "tpu"
+    except AttributeError:
+        pass
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "out_hw", "channel_order"))
 def detect_program(
     params, img, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str = "rgb"
@@ -50,11 +62,49 @@ def detect_program(
     return res, logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "out_hw", "channel_order"))
 def detect_program_batch(
-    params, imgs, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str = "rgb"
+    params,
+    imgs,
+    cfg: NetConfig,
+    out_hw: tuple[int, int],
+    channel_order: str = "rgb",
+    fused: bool | None = None,
 ):
-    """Batched pipeline: (B, H, W[, C]) images -> batched detection tensors."""
+    """Batched pipeline: (B, H, W[, C]) images -> batched detection tensors.
+
+    ``fused`` selects the production TPU path (Pallas CCL kernel + top-k
+    compaction, channel-less preprocessing to avoid C=1 layouts); None
+    auto-selects it on TPU backends.  Both paths are semantically identical
+    (tests/test_pallas_ccl.py).
+    """
+    if fused is None:
+        fused = _default_device_is_tpu()
+    return _detect_program_batch(params, imgs, cfg, out_hw, channel_order, fused)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "out_hw", "channel_order", "fused")
+)
+def _detect_program_batch(
+    params,
+    imgs,
+    cfg: NetConfig,
+    out_hw: tuple[int, int],
+    channel_order: str,
+    fused: bool,
+):
+    from ubdvss_tpu.ops.postproc import postprocess_batch_fused
+    from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
+
+    if fused:
+        x = imgs.astype(jnp.float32)
+        if x.ndim == 4:
+            x = rgb_to_grayscale(x, channel_order) if x.shape[-1] == 3 else x[..., 0]
+        if x.shape[1:] != out_hw:
+            x = jax.vmap(lambda im: resize_bilinear(im, out_hw))(x)
+        x = normalize(x)
+        logits = get_model(cfg).apply({"params": params}, x[..., None])
+        return postprocess_batch_fused(logits, cfg), logits
 
     def one(img):
         x = preprocess(img, out_hw, channel_order)

@@ -31,16 +31,33 @@ from ubdvss_tpu.ops.ccl import connected_components
 from ubdvss_tpu.ops.rect import min_area_rect_from_mask_stack
 
 
-def finish_postprocess(logits: jax.Array, labels: jax.Array, cfg: NetConfig) -> dict:
-    """Tail of the pipeline given precomputed CC labels (1..N raster order).
+def roots_from_raw_labels(raw_lab: jax.Array, max_components: int) -> tuple[jax.Array, jax.Array]:
+    """Raw min-index labels (..., H, W) -> per-image root values + validity.
 
-    Shared between the single-device path and the spatially-tiled
-    distributed path (parallel/tiling.py), which computes labels with a
-    halo-exchanged cross-tile CCL before gathering.
+    Roots are each component's minimum linear pixel index; taking the K
+    smallest (via top_k, no gathers — XLA lowers big gathers poorly on TPU)
+    reproduces the raster-scan component ordering of compacted labels.
     """
+    H, W = raw_lab.shape[-2], raw_lab.shape[-1]
+    sentinel = H * W
+    lin = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    is_root = raw_lab == lin
+    cand = jnp.where(is_root & (raw_lab < sentinel), raw_lab, sentinel)
+    neg_top, _ = jax.lax.top_k(-cand.reshape(*raw_lab.shape[:-2], H * W), max_components)
+    rootvals = -neg_top  # ascending = raster order
+    return rootvals, rootvals < sentinel
+
+
+def eq_from_raw_labels(raw_lab: jax.Array, rootvals: jax.Array, root_valid: jax.Array) -> jax.Array:
+    """One-component-per-slice masks (..., H, W, K) from raw labels."""
+    eq = raw_lab[..., None] == rootvals[..., None, None, :]
+    return eq & root_valid[..., None, None, :]
+
+
+def finish_from_eq(logits: jax.Array, eq: jax.Array, cfg: NetConfig) -> dict:
+    """Tail of the pipeline given per-component masks eq (Ho, Wo, K)."""
     det_prob = jax.nn.sigmoid(logits[..., 0])
     K = cfg.max_components
-    eq = labels[..., None] == jnp.arange(1, K + 1, dtype=jnp.int32)
     eqf = eq.astype(jnp.float32)
     areas = jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)  # (K,)
     big_enough = areas >= cfg.min_component_area
@@ -72,6 +89,44 @@ def finish_postprocess(logits: jax.Array, labels: jax.Array, cfg: NetConfig) -> 
         "valid": valid & rects["valid"],
         "num_detections": jnp.sum(valid & rects["valid"]).astype(jnp.int32),
     }
+
+
+def finish_postprocess(logits: jax.Array, labels: jax.Array, cfg: NetConfig) -> dict:
+    """Tail of the pipeline given precomputed COMPACT labels (1..N raster).
+
+    Shared with the spatially-tiled distributed path (parallel/tiling.py).
+    """
+    K = cfg.max_components
+    eq = labels[..., None] == jnp.arange(1, K + 1, dtype=jnp.int32)
+    return finish_from_eq(logits, eq, cfg)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "connectivity", "interpret")
+)
+def postprocess_batch_fused(
+    logits: jax.Array,
+    cfg: NetConfig,
+    connectivity: int = 8,
+    interpret: bool = False,
+) -> dict:
+    """Fast batched path: Pallas CCL kernel + top-k root compaction.
+
+    Semantically identical to ``postprocess_batch`` (asserted in
+    tests/test_pallas_ccl.py); ``interpret`` runs the kernel in the Pallas
+    interpreter for CPU use.
+    """
+    from ubdvss_tpu.ops.pallas.ccl_kernel import ccl_labels_from_logits
+
+    raw = ccl_labels_from_logits(
+        logits[..., 0],
+        threshold=cfg.detection_threshold,
+        connectivity=connectivity,
+        interpret=interpret,
+    )
+    rootvals, root_valid = roots_from_raw_labels(raw, cfg.max_components)
+    eq = eq_from_raw_labels(raw, rootvals, root_valid)
+    return jax.vmap(lambda lg, e: finish_from_eq(lg, e, cfg))(logits, eq)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "connectivity"))
@@ -94,41 +149,7 @@ def postprocess(logits: jax.Array, cfg: NetConfig, connectivity: int = 8) -> dic
     det_prob = jax.nn.sigmoid(logits[..., 0])
     mask = det_prob > cfg.detection_threshold
     labels, _ = connected_components(mask, connectivity=connectivity)
-
-    K = cfg.max_components
-    # (H, W, K) one-component-per-slice masks; components beyond K dropped.
-    eq = labels[..., None] == jnp.arange(1, K + 1, dtype=jnp.int32)
-    eqf = eq.astype(jnp.float32)
-    areas = jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)  # (K,)
-    big_enough = areas >= cfg.min_component_area
-    valid = (areas > 0) & big_enough
-
-    safe_area = jnp.maximum(areas, 1).astype(jnp.float32)
-    scores = jnp.einsum("hwk,hw->k", eqf, det_prob) / safe_area
-
-    if cfg.classification and logits.shape[-1] > 1:
-        cls_prob = jax.nn.softmax(logits[..., 1:], axis=-1)
-        mean_cls = jnp.einsum("hwk,hwc->kc", eqf, cls_prob) / safe_area[:, None]
-        classes = jnp.argmax(mean_cls, axis=-1).astype(jnp.int32)
-        class_probs = mean_cls
-    else:
-        classes = jnp.zeros((K,), jnp.int32)
-        class_probs = jnp.ones((K, 1), jnp.float32)
-
-    rects = min_area_rect_from_mask_stack(eq)
-    s = jnp.float32(cfg.scale)
-    return {
-        "boxes": rects["points"] * s,
-        "center": rects["center"] * s,
-        "size": rects["size"] * s,
-        "angle_deg": rects["angle_deg"],
-        "classes": classes,
-        "class_probs": class_probs,
-        "scores": scores,
-        "areas": areas,
-        "valid": valid & rects["valid"],
-        "num_detections": jnp.sum(valid & rects["valid"]).astype(jnp.int32),
-    }
+    return finish_postprocess(logits, labels, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "connectivity"))
