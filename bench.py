@@ -63,28 +63,36 @@ def main():
     )
 
     if args.postproc == "on":
+        @jax.jit
         def run(imgs):
-            res, _ = detect_program_batch(params, imgs, cfg, (S, S))
-            return res["boxes"], res["valid"], res["classes"], res["scores"]
+            res, _ = detect_program_batch(params, imgs, cfg, (S, S), fused=True)
+            return (
+                jnp.sum(res["boxes"])
+                + jnp.sum(res["scores"])
+                + jnp.sum(res["valid"])
+            )
     else:
         model = get_model(cfg)
 
         @jax.jit
         def run(imgs):
             x = jax.vmap(lambda im: preprocess(im, (S, S)))(imgs)
-            return model.apply({"params": params}, x)
+            return jnp.sum(model.apply({"params": params}, x))
 
     # warmup / compile
+    acc = run(imgs)
     for _ in range(args.warmup):
-        out = run(imgs)
-    jax.block_until_ready(out)
+        acc = acc + run(imgs)
+    float(jax.device_get(acc))
 
-    # honest timing: keep every iteration's outputs live and block on all of
-    # them (async dispatch still pipelines, but nothing can be elided)
+    # honest timing: chain every iteration into one scalar and fetch it once
+    # — nothing can be elided or left un-executed by a lazy backend, and only
+    # 4 bytes cross the host link
     t0 = time.perf_counter()
-    outs = [run(imgs) for _ in range(args.iters)]
-    for o in outs:
-        jax.block_until_ready(o)
+    acc = jnp.float32(0)
+    for _ in range(args.iters):
+        acc = acc + run(imgs)
+    float(jax.device_get(acc))
     dt = time.perf_counter() - t0
 
     ips = B * args.iters / dt

@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: threshold → CCL → component slots + rect extremes.
+
+The heatmap-postprocessing front half as ONE VMEM-resident kernel per image
+(BASELINE.json north_star "on-device iterative label-propagation kernel so
+boxes come off the chip"):
+
+  1. threshold detection logits in-kernel;
+  2. min-label propagation to fixpoint (see ccl_kernel.py);
+  3. extract the K smallest component roots (raster order) by iterated
+     masked minimum — no sort, no gather;
+  4. emit a compact per-pixel component-slot map (0..K-1, K = background)
+     and per-component per-row x-extremes (the min-area-rect candidate
+     set, ops/rect.py).
+
+Per-component sums (areas, detection-prob sums, class-prob sums) are then
+ONE batched one-hot matmul over the slot map back in XLA — `one_hot(slot,K)`
+contracts against `[1, sigmoid(det), softmax(cls)]` on the MXU in a single
+HBM pass, instead of K re-reads of the class tensor.  The (B, H, W, K)
+boolean masks the pure-XLA path materializes never exist; the rectangle fit
+itself stays in XLA (ops/rect.py) on the compact extremes.
+
+Mosaic constraints shaping this design (all hit empirically): no lane-offset
+channel slicing, no (H*W, K) reshapes, no bool-vector rolls, ~16MB scoped
+VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ubdvss_tpu.ops.pallas.ccl_kernel import _neighbor_min, _run_min
+
+
+def _geometry_kernel(
+    det_ref,
+    rootvals_ref,
+    slot_ref,
+    minx_ref,
+    maxx_ref,
+    *,
+    thr_logit,
+    connectivity,
+    max_iters,
+    K,
+):
+    det_logit = det_ref[0]  # (H, W)
+    H, W = det_logit.shape
+    sentinel = H * W
+    mask = det_logit > thr_logit
+
+    # --- CCL to fixpoint (ccl_kernel.py algorithm) ---
+    rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    lab0 = jnp.where(mask, rows * W + cols, sentinel)
+
+    def round_(l):
+        l = jnp.where(mask, _neighbor_min(l, sentinel, connectivity), sentinel)
+        l = _run_min(l, mask, sentinel, 1)
+        l = _run_min(l, mask, sentinel, 0)
+        return l
+
+    def body(state):
+        l, _, it = state
+        new = round_(l)
+        changed = jnp.sum(jnp.where(new != l, 1, 0)) > 0
+        return new, changed, it + 1
+
+    lab, _, _ = lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters),
+        body,
+        (lab0, jnp.bool_(True), jnp.int32(0)),
+    )
+
+    # --- K smallest roots by iterated masked min (raster order) ---
+    cand = jnp.where(mask & (lab == rows * W + cols), lab, sentinel)
+    roots = []
+    for _ in range(K):
+        r = jnp.min(cand)
+        roots.append(r)
+        cand = jnp.where(cand == r, sentinel, cand)
+    rootvals = jnp.stack(roots)  # (K,) ascending, sentinel-padded
+    rootvals_ref[0, 0] = rootvals
+
+    # --- compact slot map + per-row extremes (VPU; K unrolled, tiny) ---
+    big = jnp.int32(1 << 30)
+    slot = jnp.full((H, W), K, jnp.int32)  # K = background
+    for k in range(K):
+        m = lab == rootvals[k]
+        slot = jnp.where(m, k, slot)
+        minx_ref[0, k] = jnp.min(jnp.where(m, cols, big), axis=1)
+        maxx_ref[0, k] = jnp.max(jnp.where(m, cols, -1), axis=1)
+    slot_ref[0] = slot
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_components",
+        "threshold",
+        "connectivity",
+        "max_iters",
+        "interpret",
+    ),
+)
+def component_slots_from_logits(
+    det_logits: jax.Array,
+    max_components: int,
+    threshold: float = 0.5,
+    connectivity: int = 8,
+    max_iters: int | None = None,
+    interpret: bool = False,
+) -> dict:
+    """(B, H, W) detection logits -> slot map + rootvals + rect extremes.
+
+    Returns dict: rootvals (B, K) int32 (== H*W at padding), slots
+    (B, H, W) int32 in 0..K (K = background), minx/maxx (B, K, H) int32.
+    """
+    B, H, W = det_logits.shape
+    K = max_components
+    if max_iters is None:
+        max_iters = H + W
+    thr_logit = math.log(threshold / (1.0 - threshold))
+    kernel = functools.partial(
+        _geometry_kernel,
+        thr_logit=thr_logit,
+        connectivity=connectivity,
+        max_iters=max_iters,
+        K=K,
+    )
+    rootvals, slots, minx, maxx = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, H), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, H), jnp.int32),
+        ),
+        interpret=interpret,
+    )(det_logits.astype(jnp.float32))
+    return {
+        "rootvals": rootvals[:, 0],
+        "slots": slots,
+        "minx": minx,
+        "maxx": maxx,
+    }
+
+
+def component_stats_from_logits(
+    logits: jax.Array,
+    max_components: int,
+    threshold: float = 0.5,
+    connectivity: int = 8,
+    max_iters: int | None = None,
+    interpret: bool = False,
+) -> dict:
+    """(B, H, W, C) logits -> per-component stats.
+
+    Kernel for geometry (CCL/slots/extremes) + one XLA one-hot matmul for
+    [areas, det-prob sums, class-prob sums].  Returns dict with (B, K)
+    rootvals/areas/det_sums, (B, K, n_cls) cls_sums (dummy 1-col when
+    detection-only) and (B, K, H) minx/maxx.  Padding roots == H*W.
+    """
+    B, H, W, C = logits.shape
+    K = max_components
+    n_cls = C - 1
+    lg32 = logits.astype(jnp.float32)
+    geo = component_slots_from_logits(
+        lg32[..., 0],
+        max_components=K,
+        threshold=threshold,
+        connectivity=connectivity,
+        max_iters=max_iters,
+        interpret=interpret,
+    )
+    det_prob = jax.nn.sigmoid(lg32[..., 0])
+    parts = [jnp.ones_like(det_prob)[..., None], det_prob[..., None]]
+    if n_cls > 0:
+        parts.append(jax.nn.softmax(lg32[..., 1:], axis=-1))
+    feats = jnp.concatenate(parts, axis=-1)  # (B, H, W, 2 + n_cls)
+    onehot = jax.nn.one_hot(geo["slots"], K, dtype=jnp.float32)  # bg -> zeros
+    sums = jnp.einsum(
+        "bhwk,bhwf->bkf",
+        onehot,
+        feats,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cls_sums = sums[..., 2:] if n_cls > 0 else jnp.zeros((B, K, 1), jnp.float32)
+    return {
+        "rootvals": geo["rootvals"],
+        "areas": sums[..., 0],
+        "det_sums": sums[..., 1],
+        "cls_sums": cls_sums,
+        "minx": geo["minx"],
+        "maxx": geo["maxx"],
+        "labels": geo["slots"],
+    }

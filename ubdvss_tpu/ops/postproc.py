@@ -110,23 +110,61 @@ def postprocess_batch_fused(
     connectivity: int = 8,
     interpret: bool = False,
 ) -> dict:
-    """Fast batched path: Pallas CCL kernel + top-k root compaction.
+    """Fast batched path: the Pallas postprocessing mega-kernel
+    (threshold → CCL → roots → per-component stats in VMEM, see
+    ops/pallas/postproc_kernel.py) + the vectorized rect fit on the compact
+    per-row extremes.
 
     Semantically identical to ``postprocess_batch`` (asserted in
     tests/test_pallas_ccl.py); ``interpret`` runs the kernel in the Pallas
     interpreter for CPU use.
     """
-    from ubdvss_tpu.ops.pallas.ccl_kernel import ccl_labels_from_logits
+    from ubdvss_tpu.ops.pallas.postproc_kernel import component_stats_from_logits
+    from ubdvss_tpu.ops.rect import min_area_rect_from_extremes
 
-    raw = ccl_labels_from_logits(
-        logits[..., 0],
+    Ho, Wo = logits.shape[1], logits.shape[2]
+    K = cfg.max_components
+    stats = component_stats_from_logits(
+        logits,
+        max_components=K,
         threshold=cfg.detection_threshold,
         connectivity=connectivity,
         interpret=interpret,
     )
-    rootvals, root_valid = roots_from_raw_labels(raw, cfg.max_components)
-    eq = eq_from_raw_labels(raw, rootvals, root_valid)
-    return jax.vmap(lambda lg, e: finish_from_eq(lg, e, cfg))(logits, eq)
+    root_valid = stats["rootvals"] < Ho * Wo  # (B, K)
+    # padded root slots (rootvals == sentinel) matched background pixels in
+    # the kernel's one-hot — zero them out here
+    # areas come from an exact one-hot matmul: integers below 2^24
+    areas = jnp.where(root_valid, jnp.round(stats["areas"]).astype(jnp.int32), 0)
+    valid = root_valid & (areas >= cfg.min_component_area)
+    safe_area = jnp.maximum(areas, 1).astype(jnp.float32)
+    scores = jnp.where(root_valid, stats["det_sums"], 0.0) / safe_area
+    if cfg.classification and logits.shape[-1] > 1:
+        class_probs = (
+            jnp.where(root_valid[..., None], stats["cls_sums"], 0.0)
+            / safe_area[..., None]
+        )
+        classes = jnp.argmax(class_probs, axis=-1).astype(jnp.int32)
+    else:
+        classes = jnp.zeros((logits.shape[0], K), jnp.int32)
+        class_probs = jnp.ones((logits.shape[0], K, 1), jnp.float32)
+
+    rowany = (stats["maxx"] >= 0) & root_valid[..., None]  # (B, K, H)
+    rects = min_area_rect_from_extremes(stats["minx"], stats["maxx"], rowany)
+    s = jnp.float32(cfg.scale)
+    final_valid = valid & rects["valid"]
+    return {
+        "boxes": rects["points"] * s,
+        "center": rects["center"] * s,
+        "size": rects["size"] * s,
+        "angle_deg": rects["angle_deg"],
+        "classes": classes,
+        "class_probs": class_probs,
+        "scores": scores,
+        "areas": areas,
+        "valid": final_valid,
+        "num_detections": jnp.sum(final_valid, axis=-1).astype(jnp.int32),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "connectivity"))
