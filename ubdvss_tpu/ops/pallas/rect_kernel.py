@@ -1,0 +1,317 @@
+"""Pallas TPU kernel: exact min-area rectangles from per-row extremes.
+
+Finishes the on-device box pipeline (ops/rect.py documents the math): per
+image, the (K, H) component extremes from the geometry kernel are
+convexified into hull chains (parallel concave-point elimination with
+doubling-scan neighbor lookups — exact int32 arithmetic), every hull-edge
+direction is evaluated by projecting the candidate points (a (K, H, H)
+VMEM-resident pass — the XLA formulation materializes ~GBs of projection
+tensors in HBM for large batches), and the winning direction is selected
+with the cv2 rotating-calipers tie-break.
+
+The caliper rotation angle mod 90° is ordered via the folded-direction
+tangent (monotone in the angle), so the kernel needs no arctan; the final
+corner/angle reconstruction happens in XLA from the returned (K,)-sized
+selection: [ux, uy, min_u, max_u, min_v, max_v, any_edge, p0x, p0y].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ubdvss_tpu.ops.pallas.ccl_kernel import _prefix_sum, _shift
+
+_INF = 3.4e38  # python float: a jnp scalar here would be a captured constant
+
+
+_PACK = 1 << 16  # x,y < 2^15 for any supported heatmap size
+
+
+def _nearest_alive(x, y, alive_i, axis, reverse):
+    """Nearest alive slot strictly before (after, if reverse) each position.
+
+    x, y: int32 value arrays; alive_i: int32 0/1.  Returns (vx, vy, vh) with
+    vh int32 0/1.  Log-depth doubling, shift-based.  (x, y) ride packed in
+    one int32 — carrying three arrays through the doubling loop crashes the
+    Mosaic compiler; two is fine.
+    """
+    n = x.shape[axis]
+    packed = x * _PACK + y  # only read where alive
+    vp, vh = packed, alive_i
+    d = 1
+    s = -1 if reverse else 1
+    while d < n:
+        sp = _shift(vp, s * d, axis, 0)
+        sh = _shift(vh, s * d, axis, 0)
+        take = (vh == 0) & (sh == 1)
+        vp = jnp.where(take, sp, vp)
+        vh = jnp.maximum(vh, sh)
+        d *= 2
+    # exclusive: shift one step along scan direction
+    vp = _shift(vp, s, axis, 0)
+    vh = _shift(vh, s, axis, 0)
+    return vp // _PACK, vp % _PACK, vh
+
+
+def _convexify(x, yi, alive_i, sign, axis, max_rounds):
+    """Delete concave chain points to fixpoint; returns final alive (int32)."""
+
+    def body(state):
+        alive, _, it = state
+        px, py, ph = _nearest_alive(x, yi, alive, axis, reverse=False)
+        nx, ny, nh = _nearest_alive(x, yi, alive, axis, reverse=True)
+        cross = (x - px) * (ny - py) - (yi - py) * (nx - px)
+        concave = (alive == 1) & (ph == 1) & (nh == 1) & (sign * cross > 0)
+        new_alive = jnp.where(concave, 0, alive)
+        changed = jnp.sum(jnp.where(concave, 1, 0)) > 0
+        return new_alive, changed, it + 1
+
+    alive, _, _ = lax.while_loop(
+        lambda s: s[1] & (s[2] < max_rounds),
+        body,
+        (alive_i, jnp.bool_(True), jnp.int32(0)),
+    )
+    return alive
+
+
+def _fold_phi_key(ux, uy):
+    """Monotone surrogate of the caliper rotation angle (-theta) mod 90 deg.
+
+    Fold the (possibly negated/rotated) direction into the first quadrant:
+    among the four 90-degree rotations of (ux, -uy), exactly one has
+    x > 0, y >= 0 (with x==0,y>0 wrapping to the next); return y/x = tan(phi).
+    """
+    cands = [
+        (ux, -uy),
+        (-uy, -ux),
+        (-ux, uy),
+        (uy, ux),
+    ]
+    kx = jnp.zeros_like(ux)
+    ky = jnp.zeros_like(uy)
+    found = jnp.zeros_like(ux, dtype=jnp.int32)
+    for cx, cy in cands:
+        ok = (cx > 0) & (cy >= 0) & (found == 0)
+        kx = jnp.where(ok, cx, kx)
+        ky = jnp.where(ok, cy, ky)
+        found = jnp.where(ok, 1, found)
+    return jnp.where(found == 1, ky / jnp.maximum(kx, 1e-30), 0.0)
+
+
+def _rect_kernel(minx_ref, maxx_ref, sel_ref, *, K, H):
+    mv = minx_ref[0]  # (K, H) int32
+    xv = maxx_ref[0]
+    rowv = (xv >= 0).astype(jnp.int32)
+    rowv_b = xv >= 0
+    yi = lax.broadcasted_iota(jnp.int32, (K, H), 1)
+    big = jnp.int32(1 << 30)
+
+    alive_l = _convexify(mv, yi, rowv, +1, 1, H)
+    alive_r = _convexify(xv, yi, rowv, -1, 1, H)
+
+    # candidate points (both chains), float
+    pxl = mv.astype(jnp.float32)
+    pxr = xv.astype(jnp.float32)
+    py = yi.astype(jnp.float32)
+
+    def group_extents(ux, uy):
+        """min/max of u- and v-projections over all valid candidate points.
+
+        ux, uy: (K, H) directions.  Returns 4 arrays (K, H).
+        (K, H, H) broadcasting pass, VMEM-resident.
+        """
+        res = []
+        for sgn_v in (False, True):
+            for px in (pxl, pxr):
+                if not sgn_v:
+                    proj = (
+                        ux[:, :, None] * px[:, None, :]
+                        + uy[:, :, None] * py[:, None, :]
+                    )
+                else:
+                    proj = (
+                        -uy[:, :, None] * px[:, None, :]
+                        + ux[:, :, None] * py[:, None, :]
+                    )
+                pm = rowv_b[:, None, :]
+                res.append(
+                    (
+                        jnp.min(jnp.where(pm, proj, _INF), axis=2),
+                        jnp.max(jnp.where(pm, proj, -_INF), axis=2),
+                    )
+                )
+        (minu1, maxu1), (minu2, maxu2), (minv1, maxv1), (minv2, maxv2) = res
+        return (
+            jnp.minimum(minu1, minu2),
+            jnp.maximum(maxu1, maxu2),
+            jnp.minimum(minv1, minv2),
+            jnp.maximum(maxv1, maxv2),
+        )
+
+    def chain_group(x, alive):
+        nx, ny, nh = _nearest_alive(x, yi, alive, 1, reverse=True)
+        ex = (nx - x).astype(jnp.float32)
+        ey = (ny - yi).astype(jnp.float32)
+        ok = (alive == 1) & (nh == 1)
+        el2 = ex * ex + ey * ey
+        ok = ok & (el2 > 0)
+        inv = lax.rsqrt(jnp.maximum(el2, 1e-30))
+        ux = ex * inv
+        uy = ey * inv
+        mnu, mxu, mnv, mxv = group_extents(ux, uy)
+        w = mxu - mnu
+        h = mxv - mnv
+        area = jnp.where(ok, w * h, _INF)
+        phi = jnp.where(ok, _fold_phi_key(ux, uy), _INF)
+        return dict(
+            ux=ux, uy=uy, ok=ok, area=area, phi=phi,
+            mnu=mnu, mxu=mxu, mnv=mnv, mxv=mxv,
+        )
+
+    gl = chain_group(mv, alive_l)
+    gr = chain_group(xv, alive_r)
+
+    # horizontal direction (1, 0): valid iff top/bottom row has 2+ points
+    minall = jnp.min(jnp.where(rowv_b, mv, big), axis=1)  # (K,)
+    maxall = jnp.max(jnp.where(rowv_b, xv, -big), axis=1)
+    ytop = jnp.min(jnp.where(rowv_b, yi, big), axis=1)
+    ybot = jnp.max(jnp.where(rowv_b, yi, -big), axis=1)
+    has_rows = jnp.sum(rowv, axis=1) > 0
+    top_two = jnp.sum(jnp.where((yi == ytop[:, None]) & rowv_b, xv - mv, 0), axis=1) > 0
+    bot_two = jnp.sum(jnp.where((yi == ybot[:, None]) & rowv_b, xv - mv, 0), axis=1) > 0
+    h_ok = has_rows & (top_two | bot_two)
+    h_w = (maxall - minall).astype(jnp.float32)
+    h_h = (ybot - ytop).astype(jnp.float32)
+    h_area = jnp.where(h_ok, h_w * h_h, _INF)
+    h_phi = jnp.where(h_ok, 0.0, _INF)
+
+    # --- global min area + phi tie-break across the three groups ---
+    amin = jnp.minimum(
+        jnp.minimum(jnp.min(gl["area"], axis=1), jnp.min(gr["area"], axis=1)),
+        h_area,
+    )  # (K,)
+    thresh = amin * (1.0 + 1e-6) + 1e-9
+
+    def tie_phi(g):
+        t = g["ok"] & (g["area"] <= thresh[:, None])
+        return jnp.min(jnp.where(t, g["phi"], _INF), axis=1), t
+
+    phi_l, tie_l = tie_phi(gl)
+    phi_r, tie_r = tie_phi(gr)
+    phi_h = jnp.where(h_ok & (h_area <= thresh), h_phi, _INF)
+    best_phi = jnp.minimum(jnp.minimum(phi_l, phi_r), phi_h)
+
+    def extract(g, tie, quantities):
+        sel = tie & (g["phi"] <= best_phi[:, None])
+        # keep only the first matching direction per component
+        csum = _prefix_sum(sel.astype(jnp.int32), 1)
+        first = sel & (csum == 1)
+        anyhit = jnp.sum(first.astype(jnp.int32), axis=1) > 0
+        out = [
+            jnp.sum(jnp.where(first, q, 0.0), axis=1) for q in quantities
+        ]
+        return anyhit, out
+
+    ql = [gl[k] for k in ("ux", "uy", "mnu", "mxu", "mnv", "mxv")]
+    hit_l, vals_l = extract(gl, tie_l, ql)
+    qr = [gr[k] for k in ("ux", "uy", "mnu", "mxu", "mnv", "mxv")]
+    hit_r, vals_r = extract(gr, tie_r, qr)
+    # horizontal candidate values
+    vals_h = [
+        jnp.ones_like(h_w),  # ux
+        jnp.zeros_like(h_w),  # uy
+        minall.astype(jnp.float32),
+        maxall.astype(jnp.float32),
+        ytop.astype(jnp.float32),
+        ybot.astype(jnp.float32),
+    ]
+    hit_h = h_ok & (h_phi <= best_phi)
+
+    out_vals = []
+    for vl, vr, vh in zip(vals_l, vals_r, vals_h):
+        v = jnp.where(hit_l, vl, jnp.where(hit_r, vr, vh))
+        out_vals.append(v)
+    any_edge = hit_l | hit_r | hit_h
+
+    # degenerate single point: topmost row's minx
+    p0x = jnp.sum(
+        jnp.where((yi == ytop[:, None]) & rowv_b, mv, 0), axis=1
+    ).astype(jnp.float32)
+    p0y = jnp.where(has_rows, ytop, 0).astype(jnp.float32)
+
+    sel_ref[0, 0] = out_vals[0]
+    sel_ref[0, 1] = out_vals[1]
+    sel_ref[0, 2] = out_vals[2]
+    sel_ref[0, 3] = out_vals[3]
+    sel_ref[0, 4] = out_vals[4]
+    sel_ref[0, 5] = out_vals[5]
+    sel_ref[0, 6] = any_edge.astype(jnp.float32)
+    sel_ref[0, 7] = p0x
+    sel_ref[0, 8] = p0y
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def min_area_rect_select(
+    minx: jax.Array, maxx: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """(B, K, H) extremes -> (B, 9, K) selection rows (see module doc)."""
+    B, K, H = minx.shape
+    kernel = functools.partial(_rect_kernel, K=K, H=H)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 9, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 9, K), jnp.float32),
+        interpret=interpret,
+    )(minx.astype(jnp.int32), maxx.astype(jnp.int32))
+
+
+def rects_from_selection(sel: jax.Array) -> dict:
+    """(B, 9, K) kernel selection -> the min_area_rect_from_extremes dict."""
+    ux, uy, mnu, mxu, mnv, mxv, anyf, p0x, p0y = [sel[:, i] for i in range(9)]
+    any_edge = anyf > 0.5
+    c_u = 0.5 * (mnu + mxu)
+    c_v = 0.5 * (mnv + mxv)
+    cx = c_u * ux - c_v * uy
+    cy = c_u * uy + c_v * ux
+    bw = mxu - mnu
+    bh = mxv - mnv
+    angle = jnp.degrees(jnp.arctan2(uy, ux)) % 180.0
+    hw_x = 0.5 * bw * ux
+    hw_y = 0.5 * bw * uy
+    hh_x = -0.5 * bh * uy
+    hh_y = 0.5 * bh * ux
+    signs = jnp.asarray(
+        [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], jnp.float32
+    )
+    corners_x = cx[..., None] + signs[:, 0] * hw_x[..., None] + signs[:, 1] * hh_x[..., None]
+    corners_y = cy[..., None] + signs[:, 0] * hw_y[..., None] + signs[:, 1] * hh_y[..., None]
+    corners = jnp.stack([corners_x, corners_y], axis=-1)  # (B, K, 4, 2)
+
+    cx = jnp.where(any_edge, cx, p0x)
+    cy = jnp.where(any_edge, cy, p0y)
+    bw = jnp.where(any_edge, bw, 0.0)
+    bh = jnp.where(any_edge, bh, 0.0)
+    angle = jnp.where(any_edge, angle, 0.0)
+    pt = jnp.stack([p0x, p0y], axis=-1)
+    corners = jnp.where(
+        any_edge[..., None, None], corners, pt[..., None, :] * jnp.ones((4, 1))
+    )
+    return {
+        "points": corners,
+        "center": jnp.stack([cx, cy], axis=-1),
+        "size": jnp.stack([bw, bh], axis=-1),
+        "angle_deg": angle,
+    }

@@ -149,10 +149,27 @@ def postprocess_batch_fused(
         classes = jnp.zeros((logits.shape[0], K), jnp.int32)
         class_probs = jnp.ones((logits.shape[0], K, 1), jnp.float32)
 
-    rowany = (stats["maxx"] >= 0) & root_valid[..., None]  # (B, K, H)
-    rects = min_area_rect_from_extremes(stats["minx"], stats["maxx"], rowany)
+    from ubdvss_tpu.ops.pallas.rect_kernel import (
+        min_area_rect_select,
+        rects_from_selection,
+    )
+
+    # rect fit inside a second VMEM kernel; padded slots already hold no
+    # rows (maxx == -1), so no extra masking is needed
+    sel = min_area_rect_select(stats["minx"], stats["maxx"], interpret=interpret)
+    rects = rects_from_selection(sel)
+    # padded root slots matched the background in the kernel — zero their
+    # rect outputs (matches the reference path's empty-component rects)
+    rv = root_valid
+    rects = {
+        "points": jnp.where(rv[..., None, None], rects["points"], 0.0),
+        "center": jnp.where(rv[..., None], rects["center"], 0.0),
+        "size": jnp.where(rv[..., None], rects["size"], 0.0),
+        "angle_deg": jnp.where(rv, rects["angle_deg"], 0.0),
+    }
+    rect_valid = jnp.any(stats["maxx"] >= 0, axis=-1) & root_valid
     s = jnp.float32(cfg.scale)
-    final_valid = valid & rects["valid"]
+    final_valid = valid & rect_valid
     return {
         "boxes": rects["points"] * s,
         "center": rects["center"] * s,
