@@ -245,37 +245,54 @@ def _rect_kernel(minx_ref, maxx_ref, sel_ref, *, K, H):
     ).astype(jnp.float32)
     p0y = jnp.where(has_rows, ytop, 0).astype(jnp.float32)
 
-    sel_ref[0, 0] = out_vals[0]
-    sel_ref[0, 1] = out_vals[1]
-    sel_ref[0, 2] = out_vals[2]
-    sel_ref[0, 3] = out_vals[3]
-    sel_ref[0, 4] = out_vals[4]
-    sel_ref[0, 5] = out_vals[5]
-    sel_ref[0, 6] = any_edge.astype(jnp.float32)
-    sel_ref[0, 7] = p0x
-    sel_ref[0, 8] = p0y
+    sel_ref[0, 0, 0] = out_vals[0]
+    sel_ref[0, 0, 1] = out_vals[1]
+    sel_ref[0, 0, 2] = out_vals[2]
+    sel_ref[0, 0, 3] = out_vals[3]
+    sel_ref[0, 0, 4] = out_vals[4]
+    sel_ref[0, 0, 5] = out_vals[5]
+    sel_ref[0, 0, 6] = any_edge.astype(jnp.float32)
+    sel_ref[0, 0, 7] = p0x
+    sel_ref[0, 0, 8] = p0y
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def min_area_rect_select(
     minx: jax.Array, maxx: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """(B, K, H) extremes -> (B, 9, K) selection rows (see module doc)."""
+    """(B, K, H) extremes -> (B, 9, K) selection rows (see module doc).
+
+    Components are processed in K-chunks sized so the (KC, H, H) projection
+    tensors stay within the ~16MB scoped-VMEM budget (large K or large H —
+    e.g. 2048px tiled scans — otherwise OOM the kernel stack).
+    """
     B, K, H = minx.shape
-    kernel = functools.partial(_rect_kernel, K=K, H=H)
-    return pl.pallas_call(
+    budget = 10 * 1024 * 1024
+    per_comp = 8 * 4 * H * max(H, 128)  # ~8 live f32 (H, H)-padded tensors
+    cap = max(1, budget // per_comp)
+    kc = 1
+    for d in range(1, K + 1):
+        if K % d == 0 and d <= cap:
+            kc = d
+    kernel = functools.partial(_rect_kernel, K=kc, H=H)
+    # out block (1, 9, kc): second-to-last dim 9 is neither 8-divisible nor
+    # full -> lay the output out as (B, K//kc, 9, kc) and merge after
+    nchunk = K // kc
+    sel = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nchunk),
         in_specs=[
-            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, H), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, H), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 9, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, 9, kc), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 9, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nchunk, 9, kc), jnp.float32),
         interpret=interpret,
     )(minx.astype(jnp.int32), maxx.astype(jnp.int32))
+    # (B, nchunk, 9, kc) -> (B, 9, K)
+    return jnp.moveaxis(sel, 1, 2).reshape(B, 9, K)
 
 
 def rects_from_selection(sel: jax.Array) -> dict:
