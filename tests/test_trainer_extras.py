@@ -1,0 +1,90 @@
+"""Trainer auxiliary subsystems: schedules, best-checkpoint, checkify,
+visualization (SURVEY.md §5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ubdvss_tpu import NetConfig
+from ubdvss_tpu.data import Batches, DataConfig
+from ubdvss_tpu.synthetic import SyntheticMarkupReader
+from ubdvss_tpu.train import (
+    Trainer,
+    checked_train_step,
+    create_train_state,
+    make_lr_schedule,
+    train_step,
+)
+from ubdvss_tpu.utils.visualization import (
+    detection_summary_image,
+    draw_detections,
+    heatmap_overlay,
+)
+
+
+def test_lr_schedules():
+    s = make_lr_schedule("constant", 1e-3)
+    assert float(s(0)) == pytest.approx(1e-3)
+    c = make_lr_schedule("cosine", 1e-3, warmup_steps=10, decay_steps=100)
+    assert float(c(0)) == 0.0
+    assert float(c(10)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(c(110)) < 1e-4
+    e = make_lr_schedule("exponential", 1e-3, decay_steps=100)
+    assert float(e(100)) == pytest.approx(1e-5, rel=1e-3)
+    with pytest.raises(ValueError):
+        make_lr_schedule("nope", 1e-3)
+
+
+def _tiny_batch(cfg):
+    reader = SyntheticMarkupReader(n_samples=2, image_hw=(32, 32), seed=0)
+    dc = DataConfig(batch_size=2, train_hw=(32, 32), augment=None)
+    return next(iter(Batches(reader, cfg, dc, train=True).epoch(0)))
+
+
+def test_checked_train_step_clean_and_poisoned():
+    cfg = NetConfig()
+    batch = _tiny_batch(cfg)
+    state = create_train_state(cfg, lr=1e-3)
+    err, (new_state, metrics) = checked_train_step(state, batch, cfg)
+    err.throw()  # no error on clean data
+    assert float(metrics["loss"]) > 0
+    # poison the params -> NaN must be caught
+    bad = state.replace(params=jax.tree.map(lambda p: p * jnp.nan, state.params))
+    err, _ = checked_train_step(bad, batch, cfg)
+    with pytest.raises(Exception):
+        err.throw()
+
+
+def test_best_checkpoint_and_image_summary(tmp_path):
+    cfg = NetConfig()
+    reader = SyntheticMarkupReader(n_samples=4, image_hw=(32, 32), seed=1)
+    dc = DataConfig(batch_size=2, train_hw=(32, 32), augment=None)
+    tr = Trainer(
+        cfg, dc, lr=1e-3, logdir=str(tmp_path), checkpoint_every=2,
+        best_metric="pixel_f1", image_summaries=True,
+    )
+    batches = Batches(reader, cfg, dc, train=True)
+    val = Batches(reader, cfg, dc, train=False)
+    tr.fit(batches, epochs=2, val_batches=val)
+    assert tr.best_ckpt.best_step() is not None
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_visualization_helpers():
+    img = np.zeros((32, 32), np.uint8)
+    box = np.array([[[4, 4], [20, 4], [20, 12], [4, 12]]], np.float32)
+    out = draw_detections(img, box, gt_polygons=[box[0] + 2])
+    assert out.shape == (32, 32, 3)
+    assert (out != 0).any()
+    hm = np.zeros((8, 8), np.float32)
+    hm[2:4, 2:4] = 1.0
+    ov = heatmap_overlay(img, hm)
+    assert ov.shape == (32, 32, 3)
+    assert ov[9, 9, 0] > 100  # red where heatmap fires
+    res = {
+        "valid": np.array([True]),
+        "boxes": box,
+    }
+    s = detection_summary_image(img, res)
+    assert s.shape == (32, 32, 3)

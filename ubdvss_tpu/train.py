@@ -46,14 +46,47 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def make_lr_schedule(
+    kind: str,
+    lr: float,
+    warmup_steps: int = 0,
+    decay_steps: int = 10_000,
+    end_factor: float = 0.01,
+):
+    """LR schedule factory (the reference's LR-schedule callback analog)."""
+    if kind == "constant":
+        sched = optax.constant_schedule(lr)
+    elif kind == "cosine":
+        sched = optax.cosine_decay_schedule(lr, decay_steps, alpha=end_factor)
+    elif kind == "exponential":
+        sched = optax.exponential_decay(
+            lr, decay_steps, decay_rate=end_factor, staircase=False
+        )
+    else:
+        raise ValueError(f"unknown schedule {kind!r}")
+    if warmup_steps > 0:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps), sched],
+            [warmup_steps],
+        )
+    return sched
+
+
 def create_train_state(
-    cfg: NetConfig, lr: float = 1e-3, seed: int = 0, weight_decay: float = 0.0
+    cfg: NetConfig,
+    lr: float = 1e-3,
+    seed: int = 0,
+    weight_decay: float = 0.0,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int = 10_000,
 ) -> TrainState:
     params = init_params(cfg, seed)
+    sched = make_lr_schedule(schedule, lr, warmup_steps, decay_steps)
     tx = (
-        optax.adamw(lr, weight_decay=weight_decay)
+        optax.adamw(sched, weight_decay=weight_decay)
         if weight_decay
-        else optax.adam(lr)
+        else optax.adam(sched)
     )
     model = get_model(cfg)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
@@ -64,18 +97,38 @@ def train_step(state: TrainState, batch: dict, cfg: NetConfig):
     """One optimization step; returns (new_state, metrics)."""
 
     def loss_fn(params):
-        logits = state.apply_fn({"params": params}, batch["images"])
-        loss, aux = total_loss(logits, batch["segmap"], cfg)
+        with jax.named_scope("fcn_forward"):
+            logits = state.apply_fn({"params": params}, batch["images"])
+        with jax.named_scope("mined_loss"):
+            loss, aux = total_loss(logits, batch["segmap"], cfg)
         return loss, (aux, logits)
 
-    (_, (aux, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
-    new_state = state.apply_gradients(grads=grads)
+    with jax.named_scope("grad"):
+        (_, (aux, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+    with jax.named_scope("optimizer_update"):
+        new_state = state.apply_gradients(grads=grads)
     metrics = dict(aux)
     metrics.update(pixel_detection_metrics(logits[..., 0], batch["segmap"]))
     metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def checked_train_step(state: TrainState, batch: dict, cfg: NetConfig):
+    """Debug-build step with NaN/inf guards (SURVEY.md §5 "Race detection /
+    sanitizers"): checkify wraps the same math; the caller throws on the
+    first poisoned value.  (index_checks are omitted — checkify's gather
+    instrumentation currently breaks on take_along_axis under vmap.)"""
+    from jax.experimental import checkify
+
+    def step(state, batch):
+        return train_step.__wrapped__(state, batch, cfg)
+
+    checked = checkify.checkify(step, errors=checkify.float_checks)
+    err, out = checked(state, batch)
+    return err, out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -89,28 +142,76 @@ def eval_step(state: TrainState, batch: dict, cfg: NetConfig):
 
 @dataclasses.dataclass
 class Trainer:
-    """Fit loop with checkpointing/logging (the reference's fit_generator)."""
+    """Fit loop with checkpointing/logging (the reference's fit_generator +
+    callbacks: checkpoints incl. save-best, TensorBoard scalars + prediction
+    image summaries, LR schedule, optional NaN/inf debug guards)."""
 
     cfg: NetConfig
     data_cfg: DataConfig
     lr: float = 1e-3
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 10_000
+    weight_decay: float = 0.0
     logdir: str | None = None
     checkpoint_every: int = 200
     log_every: int = 20
+    image_summaries: bool = True
+    best_metric: str | None = "pixel_f1"
+    debug_checks: bool = False
     seed: int = 0
 
     def __post_init__(self):
-        self.state = create_train_state(self.cfg, self.lr, self.seed)
+        self.state = create_train_state(
+            self.cfg,
+            self.lr,
+            self.seed,
+            weight_decay=self.weight_decay,
+            schedule=self.schedule,
+            warmup_steps=self.warmup_steps,
+            decay_steps=self.decay_steps,
+        )
         self.logger = MetricLogger(self.logdir)
         self.ckpt = (
             CheckpointManager(f"{self.logdir}/checkpoints") if self.logdir else None
         )
+        self.best_ckpt = (
+            CheckpointManager(
+                f"{self.logdir}/best",
+                max_to_keep=1,
+                best_metric=self.best_metric,
+            )
+            if self.logdir and self.best_metric
+            else None
+        )
+        self._last_val_metrics: dict | None = None
 
     def maybe_resume(self) -> int:
         if self.ckpt and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             print(f"resumed from step {int(self.state.step)}")
         return int(self.state.step)
+
+    def _step(self, batch):
+        if self.debug_checks:
+            err, (state, metrics) = checked_train_step(self.state, batch, self.cfg)
+            err.throw()
+            return state, metrics
+        return train_step(self.state, batch, self.cfg)
+
+    def _image_summary(self, step: int, batch) -> None:
+        """Prediction overlays for the first val images (host, off hot path)."""
+        from ubdvss_tpu.ops.postproc import postprocess_batch
+        from ubdvss_tpu.utils.visualization import detection_summary_image
+
+        logits = self.state.apply_fn({"params": self.state.params}, batch["images"])
+        res = jax.device_get(postprocess_batch(logits, self.cfg))
+        imgs = np.asarray(batch["images"])[..., 0] * 127.5 + 127.5
+        for i in range(min(2, imgs.shape[0])):
+            img = detection_summary_image(
+                imgs[i], jax.tree.map(lambda a: a[i], res)
+            )
+            self.logger.log_image(step, f"predictions_{i}", img)
 
     def fit(
         self,
@@ -121,7 +222,7 @@ class Trainer:
         step = int(self.state.step)
         for epoch in range(epochs):
             for batch in train_batches.epoch(epoch):
-                self.state, metrics = train_step(self.state, batch, self.cfg)
+                self.state, metrics = self._step(batch)
                 step += 1
                 if step % self.log_every == 0:
                     self.logger.log(step, jax.device_get(metrics), "train")
@@ -129,14 +230,21 @@ class Trainer:
                     self.ckpt.save(step, self.state)
             if val_batches is not None:
                 agg: dict[str, list] = {}
+                first_batch = None
                 for batch in val_batches.epoch(0):
+                    if first_batch is None:
+                        first_batch = batch
                     for k, v in jax.device_get(
                         eval_step(self.state, batch, self.cfg)
                     ).items():
                         agg.setdefault(k, []).append(v)
-                self.logger.log(
-                    step, {k: float(np.mean(v)) for k, v in agg.items()}, "val"
-                )
+                val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+                self._last_val_metrics = val_metrics
+                self.logger.log(step, val_metrics, "val")
+                if self.image_summaries and first_batch is not None:
+                    self._image_summary(step, first_batch)
+                if self.best_ckpt and self.best_metric in val_metrics:
+                    self.best_ckpt.save(step, self.state, metrics=val_metrics)
         if self.ckpt:
             self.ckpt.save(step, self.state)
         return self.state
@@ -160,6 +268,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=256)
+    p.add_argument("--schedule", default="constant",
+                   choices=["constant", "cosine", "exponential"])
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--decay-steps", type=int, default=10_000)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--debug-nan", action="store_true",
+                   help="checkify NaN/inf/OOB guards (debug builds)")
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace into this dir")
     return p
 
 
@@ -187,11 +304,23 @@ def main(argv: list[str] | None = None) -> TrainState:
             val_reader, cfg, dataclasses.replace(dc, shuffle=False), train=False
         )
     trainer = Trainer(
-        cfg, dc, lr=args.lr, logdir=args.logdir, seed=args.seed
+        cfg,
+        dc,
+        lr=args.lr,
+        schedule=args.schedule,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
+        weight_decay=args.weight_decay,
+        logdir=args.logdir,
+        debug_checks=args.debug_nan,
+        seed=args.seed,
     )
     if args.resume:
         trainer.maybe_resume()
-    return trainer.fit(train_b, args.epochs, val_b)
+    from ubdvss_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        return trainer.fit(train_b, args.epochs, val_b)
 
 
 if __name__ == "__main__":

@@ -27,17 +27,30 @@ def _abs(path: str | os.PathLike) -> str:
 class CheckpointManager:
     """Thin orbax CheckpointManager wrapper: save/restore train state."""
 
-    def __init__(self, directory: str | os.PathLike, max_to_keep: int = 3):
+    def __init__(
+        self,
+        directory: str | os.PathLike,
+        max_to_keep: int = 3,
+        best_metric: str | None = None,
+        best_mode: str = "max",
+    ):
+        """best_metric: keep checkpoints ranked by this metric (passed to
+        save(..., metrics=...)) — the reference's ModelCheckpoint
+        save-best-only analog; None keeps the most recent ones."""
+        opts = dict(max_to_keep=max_to_keep, create=True)
+        if best_metric is not None:
+            opts["best_fn"] = lambda m: m[best_metric]
+            opts["best_mode"] = best_mode
         self._mgr = ocp.CheckpointManager(
-            _abs(directory),
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
-            ),
+            _abs(directory), options=ocp.CheckpointManagerOptions(**opts)
         )
 
-    def save(self, step: int, state: Any) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
         self._mgr.wait_until_finished()
+
+    def best_step(self) -> int | None:
+        return self._mgr.best_step()
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

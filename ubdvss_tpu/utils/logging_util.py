@@ -50,6 +50,20 @@ class MetricLogger:
         msg = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
         print(f"[{prefix}] step {step}: {msg}", file=sys.stderr)
 
+    def log_image(self, step: int, name: str, image, prefix: str = "val") -> None:
+        """TensorBoard image summary (no-op without TF/logdir) — the
+        reference's prediction-overlay summaries (SURVEY.md §5)."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        img = np.asarray(image)
+        if img.ndim == 3:
+            img = img[None]
+        with self._tb.as_default():
+            tf.summary.image(f"{prefix}/{name}", img, step=step)
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()
