@@ -119,6 +119,117 @@ def device_batch_step(
             "class_ids": class_ids}
 
 
+class _ReaderSource:
+    """grain RandomAccessDataSource over a MarkupReader: workers decode the
+    image bytes and pad the polygons; all numerics stay on device."""
+
+    def __init__(self, samples, net_cfg, max_polys, max_verts):
+        self._samples = samples
+        self._net_cfg = net_cfg
+        self._max_polys = max_polys
+        self._max_verts = max_verts
+
+    def __len__(self):
+        return len(self._samples)
+
+    def __getitem__(self, i):
+        s = self._samples[int(i)]
+        img = load_image(s)
+        polys, n_verts, class_ids = pad_polygons(
+            s, self._net_cfg, self._max_polys, self._max_verts
+        )
+        return {
+            "image": np.asarray(img),
+            "polys": polys,
+            "n_verts": n_verts,
+            "class_ids": class_ids,
+        }
+
+
+class GrainBatches:
+    """Multi-worker host loading via grain (SURVEY.md §2b: the tf.data
+    threading replacement) + the same on-device batch step as ``Batches``.
+
+    Host workers only decode/pad; grayscale/resize/normalize/augment/
+    rasterize run on device.  Iteration contract matches ``Batches``.
+    """
+
+    def __init__(
+        self,
+        reader: MarkupReader,
+        net_cfg: NetConfig,
+        data_cfg: DataConfig,
+        train: bool = True,
+        worker_count: int = 4,
+    ):
+        import grain.python as pygrain
+
+        self._pygrain = pygrain
+        self.net_cfg = net_cfg
+        self.data_cfg = data_cfg
+        self.train = train
+        self.worker_count = worker_count
+        self._source = _ReaderSource(
+            reader.samples(), net_cfg, data_cfg.max_polys, data_cfg.max_verts
+        )
+
+    def __len__(self) -> int:
+        n = len(self._source)
+        b = self.data_cfg.batch_size
+        return n // b if self.data_cfg.drop_remainder else -(-n // b)
+
+    def epoch(self, epoch: int | None = None) -> Iterator[dict]:
+        pygrain = self._pygrain
+        dc = self.data_cfg
+        epoch = 0 if epoch is None else epoch
+        sampler = pygrain.IndexSampler(
+            num_records=len(self._source),
+            shard_options=pygrain.NoSharding(),
+            shuffle=dc.shuffle and self.train,
+            num_epochs=1,
+            seed=dc.seed + epoch,
+        )
+        loader = pygrain.DataLoader(
+            data_source=self._source,
+            sampler=sampler,
+            worker_count=self.worker_count,
+        )
+        key = jax.random.key(dc.seed * 7919 + epoch)
+        buf: list[dict] = []
+        bi = 0
+        for rec in loader:
+            buf.append(rec)
+            if len(buf) == dc.batch_size:
+                yield self._emit(buf, jax.random.fold_in(key, bi))
+                bi += 1
+                buf = []
+        if buf and not dc.drop_remainder:
+            yield self._emit(buf, jax.random.fold_in(key, bi))
+
+    def _emit(self, records: list[dict], bkey):
+        dc = self.data_cfg
+        imgs, polys = [], []
+        for r in records:
+            x, p = _to_train_shape(
+                jnp.asarray(r["image"]), jnp.asarray(r["polys"]), dc.train_hw
+            )
+            imgs.append(x)
+            polys.append(p)
+        return device_batch_step(
+            bkey,
+            jnp.stack(imgs),
+            jnp.stack(polys),
+            jnp.asarray(np.stack([r["n_verts"] for r in records])),
+            jnp.asarray(np.stack([r["class_ids"] for r in records])),
+            self.net_cfg,
+            dc,
+            self.train,
+        )
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
 class Batches:
     """Iterable over device-ready batches (the reference's generator role)."""
 

@@ -120,39 +120,40 @@ def _rect_kernel(minx_ref, maxx_ref, sel_ref, *, K, H):
     pxr = xv.astype(jnp.float32)
     py = yi.astype(jnp.float32)
 
+    # point-axis chunk: keeps the (K, H, Pc) projection tensors ~<=2MB even
+    # for 2048px scans (H=512); 128-aligned lane slices are Mosaic-legal
+    PC = min(H, 128)
+
     def group_extents(ux, uy):
         """min/max of u- and v-projections over all valid candidate points.
 
         ux, uy: (K, H) directions.  Returns 4 arrays (K, H).
-        (K, H, H) broadcasting pass, VMEM-resident.
         """
-        res = []
-        for sgn_v in (False, True):
+        minu = jnp.full(ux.shape, _INF, jnp.float32)
+        maxu = jnp.full(ux.shape, -_INF, jnp.float32)
+        minv = jnp.full(ux.shape, _INF, jnp.float32)
+        maxv = jnp.full(ux.shape, -_INF, jnp.float32)
+        for p0 in range(0, H, PC):
+            sl = slice(p0, p0 + PC)
+            pm = rowv_b[:, None, sl]
             for px in (pxl, pxr):
-                if not sgn_v:
-                    proj = (
-                        ux[:, :, None] * px[:, None, :]
-                        + uy[:, :, None] * py[:, None, :]
-                    )
-                else:
-                    proj = (
-                        -uy[:, :, None] * px[:, None, :]
-                        + ux[:, :, None] * py[:, None, :]
-                    )
-                pm = rowv_b[:, None, :]
-                res.append(
-                    (
-                        jnp.min(jnp.where(pm, proj, _INF), axis=2),
-                        jnp.max(jnp.where(pm, proj, -_INF), axis=2),
-                    )
+                pxc = px[:, None, sl]
+                pyc = py[:, None, sl]
+                proj_u = ux[:, :, None] * pxc + uy[:, :, None] * pyc
+                minu = jnp.minimum(
+                    minu, jnp.min(jnp.where(pm, proj_u, _INF), axis=2)
                 )
-        (minu1, maxu1), (minu2, maxu2), (minv1, maxv1), (minv2, maxv2) = res
-        return (
-            jnp.minimum(minu1, minu2),
-            jnp.maximum(maxu1, maxu2),
-            jnp.minimum(minv1, minv2),
-            jnp.maximum(maxv1, maxv2),
-        )
+                maxu = jnp.maximum(
+                    maxu, jnp.max(jnp.where(pm, proj_u, -_INF), axis=2)
+                )
+                proj_v = -uy[:, :, None] * pxc + ux[:, :, None] * pyc
+                minv = jnp.minimum(
+                    minv, jnp.min(jnp.where(pm, proj_v, _INF), axis=2)
+                )
+                maxv = jnp.maximum(
+                    maxv, jnp.max(jnp.where(pm, proj_v, -_INF), axis=2)
+                )
+        return minu, maxu, minv, maxv
 
     def chain_group(x, alive):
         nx, ny, nh = _nearest_alive(x, yi, alive, 1, reverse=True)
@@ -267,13 +268,15 @@ def min_area_rect_select(
     e.g. 2048px tiled scans — otherwise OOM the kernel stack).
     """
     B, K, H = minx.shape
-    budget = 10 * 1024 * 1024
-    per_comp = 8 * 4 * H * max(H, 128)  # ~8 live f32 (H, H)-padded tensors
+    budget = 8 * 1024 * 1024
+    pc = min(H, 128)
+    per_comp = 4 * 4 * H * max(pc, 128)  # ~4 live f32 (H, Pc)-padded tensors
     cap = max(1, budget // per_comp)
-    kc = 1
-    for d in range(1, K + 1):
-        if K % d == 0 and d <= cap:
-            kc = d
+    # Mosaic block rule: the K block dim must be 8-divisible or equal to K
+    legal = [d for d in range(8, K + 1, 8) if K % d == 0 and d <= cap]
+    if K <= cap:
+        legal.append(K)
+    kc = max(legal) if legal else K
     kernel = functools.partial(_rect_kernel, K=kc, H=H)
     # out block (1, 9, kc): second-to-last dim 9 is neither 8-divisible nor
     # full -> lay the output out as (B, K//kc, 9, kc) and merge after
