@@ -79,6 +79,11 @@ def detect_program_batch(
     """
     if fused is None:
         fused = _default_device_is_tpu()
+    # the fused Pallas kernels target per-image heatmaps up to ~256x256
+    # (1024px inputs); larger scans route through the XLA path here or,
+    # better, through parallel.tiling.tiled_detect (BASELINE config 4)
+    if max(out_hw) // cfg.scale > 256:
+        fused = False
     return _detect_program_batch(params, imgs, cfg, out_hw, channel_order, fused)
 
 

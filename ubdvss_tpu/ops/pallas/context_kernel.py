@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: the fused dilated-separable context module + head.
+
+BASELINE.json north_star: "the tiny dilated-convolution context-module FCN
+is reimplemented with Pallas-fused conv+activation blocks for both inference
+and pixelwise-loss training."
+
+One grid program per image keeps the whole activation (C=24 at H/4 — ~1.6MB
+in channel-major (C, H, W) layout, which tiles onto (8,128) with no lane
+padding, unlike NHWC C=24) resident in VMEM across ALL context layers and
+the 1x1 head: HBM sees one read of the stem output and one write of the
+logits instead of ~9 per-layer round trips.
+
+Per layer, fused in-register:
+  * depthwise 3x3 dilation-d conv = 9 shifted multiply-accumulates
+    (roll + edge-mask shifts, zero padding == SAME conv semantics);
+  * pointwise 1x1 conv = a (C_out, C_in) x (C_in, H, W) `dot_general`
+    on the MXU;
+  * bias add + ReLU.
+
+Training support: `fused_context_head` carries a custom VJP whose backward
+differentiates the numerically-identical XLA formulation
+(`context_head_reference`), so gradients are exact and the fused forward
+can sit inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ubdvss_tpu.ops.pallas.ccl_kernel import _shift
+
+
+def _dw_shift_mac(x, w9, dilation):
+    """Depthwise 3x3 dilated conv on (C, H, W) via 9 shifted MACs.
+
+    w9: (9, C) tap weights, tap index = 3*ty + tx with offsets
+    (ty-1, tx-1) * dilation; zero fill == SAME padding.
+    """
+    acc = None
+    t = 0
+    for ty in (-1, 0, 1):
+        for tx in (-1, 0, 1):
+            # conv correlation: output(h,w) += w[ty,tx] * x(h+ty*d, w+tx*d)
+            # shift toward negative index == _shift by -offset
+            xs = x
+            if ty:
+                xs = _shift(xs, -ty * dilation, 1, 0.0)
+            if tx:
+                xs = _shift(xs, -tx * dilation, 2, 0.0)
+            term = xs * w9[t][:, None, None]
+            acc = term if acc is None else acc + term
+            t += 1
+    return acc
+
+
+def _context_kernel(
+    x_ref, dw_ref, pwt_ref, pb_ref, hwt_ref, hb_ref, out_ref, *, dilations, C, O
+):
+    x = x_ref[0]  # (C, H, W)
+    for li, d in enumerate(dilations):
+        w9 = dw_ref[li]  # (9, C)
+        y = _dw_shift_mac(x, w9, d)
+        # pointwise: (C_out, C_in) @ (C_in, H, W) on the MXU
+        y = lax.dot_general(
+            pwt_ref[li],
+            y,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x = jnp.maximum(y + pb_ref[li][:, None, None], 0.0)
+    logits = lax.dot_general(
+        hwt_ref[:], x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = logits + hb_ref[:][:, None, None]
+
+
+def _pack_weights(params, dilations):
+    """flax param tree -> kernel weight tensors (see BarcodeFCN naming)."""
+    L = len(dilations)
+    dws, pwts, pbs = [], [], []
+    for i in range(L):
+        p = params[f"context_{i}"]
+        dk = jnp.asarray(p["depthwise"]["kernel"], jnp.float32)  # (3,3,1,C)
+        dws.append(dk[:, :, 0, :].reshape(9, -1))
+        pk = jnp.asarray(p["pointwise"]["kernel"], jnp.float32)  # (1,1,C,C)
+        pwts.append(pk[0, 0].T)  # (C_out, C_in)
+        pbs.append(jnp.asarray(p["pointwise"]["bias"], jnp.float32))
+    hw = jnp.asarray(params["head"]["kernel"], jnp.float32)[0, 0]  # (C, O)
+    hb = jnp.asarray(params["head"]["bias"], jnp.float32)
+    return (
+        jnp.stack(dws),  # (L, 9, C)
+        jnp.stack(pwts),  # (L, C, C)
+        jnp.stack(pbs),  # (L, C)
+        hw.T,  # (O, C)
+        hb,  # (O,)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dilations", "interpret"))
+def _pallas_context_head(x_nchw, dw, pwt, pb, hwt, hb, dilations, interpret=False):
+    B, C, H, W = x_nchw.shape
+    O = hwt.shape[0]
+    kernel = functools.partial(
+        _context_kernel, dilations=dilations, C=C, O=O
+    )
+    rep = lambda *idx: tuple(0 for _ in idx)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, H, W), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(dw.shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pwt.shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pb.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(hwt.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(hb.shape, lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, O, H, W), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, O, H, W), jnp.float32),
+        interpret=interpret,
+    )(x_nchw.astype(jnp.float32), dw, pwt, pb, hwt, hb)
+
+
+def context_head_reference(x_nchw, dw, pwt, pb, hwt, hb, dilations):
+    """Numerically-identical XLA formulation (differentiable; also the
+    source of the custom-VJP backward)."""
+
+    def shift(x, d, axis):
+        n = x.shape[axis]
+        r = jnp.roll(x, d, axis)
+        idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+        keep = (idx >= d) if d > 0 else (idx < n + d)
+        return jnp.where(keep, r, 0.0)
+
+    x = x_nchw.astype(jnp.float32)
+    for li, d in enumerate(dilations):
+        acc = 0.0
+        t = 0
+        for ty in (-1, 0, 1):
+            for tx in (-1, 0, 1):
+                xs = x
+                if ty:
+                    xs = shift(xs, -ty * d, 2)
+                if tx:
+                    xs = shift(xs, -tx * d, 3)
+                acc = acc + xs * dw[li, t][None, :, None, None]
+                t += 1
+        y = jnp.einsum(
+            "oc,bchw->bohw", pwt[li], acc,
+            precision=lax.Precision.HIGHEST,
+        )
+        x = jnp.maximum(y + pb[li][None, :, None, None], 0.0)
+    logits = jnp.einsum(
+        "oc,bchw->bohw", hwt, x, precision=lax.Precision.HIGHEST
+    )
+    return logits + hb[None, :, None, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_context_head(x_nchw, dw, pwt, pb, hwt, hb, dilations, interpret=False):
+    """Fused Pallas forward with exact gradients (XLA-differentiated bwd)."""
+    return _pallas_context_head(x_nchw, dw, pwt, pb, hwt, hb, dilations, interpret)
+
+
+def _fch_fwd(x, dw, pwt, pb, hwt, hb, dilations, interpret):
+    out = _pallas_context_head(x, dw, pwt, pb, hwt, hb, dilations, interpret)
+    return out, (x, dw, pwt, pb, hwt, hb)
+
+
+def _fch_bwd(dilations, interpret, res, g):
+    x, dw, pwt, pb, hwt, hb = res
+    _, vjp = jax.vjp(
+        lambda *a: context_head_reference(*a, dilations=dilations),
+        x, dw, pwt, pb, hwt, hb,
+    )
+    return vjp(g)
+
+
+fused_context_head.defvjp(_fch_fwd, _fch_bwd)
+
+
+def fused_model_apply(
+    params, x_nhwc: jax.Array, cfg, interpret: bool = False
+) -> jax.Array:
+    """Full FCN forward with the Pallas-fused context module + head.
+
+    Numerically equivalent to ``get_model(cfg).apply`` for separable-context
+    configs (asserted ≤1e-5 in tests/test_context_kernel.py); differentiable
+    (exact custom VJP), NHWC in / NHWC logits out.
+    """
+    assert cfg.separable_context, "fused path implements the separable module"
+    x = x_nhwc.astype(jnp.float32)
+    # stem: two stride-2 SAME convs (XLA; large-H input, small weight reuse)
+    for i in range(2):
+        p = params[f"downscale_{i}"]
+        x = lax.conv_general_dilated(
+            x,
+            jnp.asarray(p["kernel"], jnp.float32),
+            window_strides=(2, 2),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        ) + jnp.asarray(p["bias"], jnp.float32)
+        x = jnp.maximum(x, 0.0)
+    xc = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the kernel
+    dw, pwt, pb, hwt, hb = _pack_weights(params, tuple(cfg.dilations))
+    logits = fused_context_head(
+        xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations), interpret
+    )
+    return jnp.transpose(logits, (0, 2, 3, 1))  # NHWC

@@ -44,6 +44,7 @@ def _geometry_kernel(
     slot_ref,
     minx_ref,
     maxx_ref,
+    roots_smem,
     *,
     thr_logit,
     connectivity,
@@ -78,25 +79,49 @@ def _geometry_kernel(
         (lab0, jnp.bool_(True), jnp.int32(0)),
     )
 
-    # --- K smallest roots by iterated masked min (raster order) ---
-    cand = jnp.where(mask & (lab == rows * W + cols), lab, sentinel)
-    roots = []
-    for _ in range(K):
-        r = jnp.min(cand)
-        roots.append(r)
-        cand = jnp.where(cand == r, sentinel, cand)
-    rootvals = jnp.stack(roots)  # (K,) ascending, sentinel-padded
-    rootvals_ref[0, 0] = rootvals
+    # --- K smallest roots by iterated masked min (raster order); fori so
+    # the program stays small for large K/H (an unrolled K=64 loop on big
+    # arrays blows up Mosaic compile time/memory).  Results accumulate in
+    # loop carries / SMEM and are written once — Mosaic cannot prove
+    # alignment of dynamic lane-offset vector stores. ---
+    cand0 = jnp.where(mask & (lab == rows * W + cols), lab, sentinel)
 
-    # --- compact slot map + per-row extremes (VPU; K unrolled, tiny) ---
+    def root_body(k, cand):
+        r = jnp.min(cand)
+        roots_smem[k] = r
+        return jnp.where(cand == r, sentinel, cand)
+
+    lax.fori_loop(0, K, root_body, cand0)
+    rootvals_ref[0, 0] = jnp.stack([roots_smem[k] for k in range(K)])
+
+    # --- compact slot map + per-row extremes ---
     big = jnp.int32(1 << 30)
-    slot = jnp.full((H, W), K, jnp.int32)  # K = background
-    for k in range(K):
-        m = lab == rootvals[k]
-        slot = jnp.where(m, k, slot)
-        minx_ref[0, k] = jnp.min(jnp.where(m, cols, big), axis=1)
-        maxx_ref[0, k] = jnp.max(jnp.where(m, cols, -1), axis=1)
+    kio = lax.broadcasted_iota(jnp.int32, (K, H), 0)
+
+    def slot_body(k, carry):
+        slot, mnx, mxx = carry
+        root = roots_smem[k]
+        m = lab == root
+        mk = jnp.min(jnp.where(m, cols, big), axis=1)  # (H,)
+        xk = jnp.max(jnp.where(m, cols, -1), axis=1)
+        rowsel = kio == k  # (K, H)
+        mnx = jnp.where(rowsel, mk[None, :], mnx)
+        mxx = jnp.where(rowsel, xk[None, :], mxx)
+        return jnp.where(m, k, slot), mnx, mxx
+
+    slot, mnx, mxx = lax.fori_loop(
+        0,
+        K,
+        slot_body,
+        (
+            jnp.full((H, W), K, jnp.int32),
+            jnp.full((K, H), big, jnp.int32),
+            jnp.full((K, H), -1, jnp.int32),
+        ),
+    )
     slot_ref[0] = slot
+    minx_ref[0] = mnx
+    maxx_ref[0] = mxx
 
 
 @functools.partial(
@@ -152,6 +177,7 @@ def component_slots_from_logits(
             jax.ShapeDtypeStruct((B, K, H), jnp.int32),
             jax.ShapeDtypeStruct((B, K, H), jnp.int32),
         ),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
         interpret=interpret,
     )(det_logits.astype(jnp.float32))
     return {

@@ -135,10 +135,16 @@ def _rect_kernel(minx_ref, maxx_ref, sel_ref, *, K, H):
         maxv = jnp.full(ux.shape, -_INF, jnp.float32)
         for p0 in range(0, H, PC):
             sl = slice(p0, p0 + PC)
-            pm = rowv_b[:, None, sl]
+            # slice 2-D first, then add the broadcast axis; the row-index
+            # plane is a fresh per-chunk iota (+offset) — sliced iotas in
+            # 3-D broadcasts hit Mosaic lowering bugs
+            pm = rowv_b[:, sl][:, None, :]
+            pyc = (
+                lax.broadcasted_iota(jnp.int32, (K, 1, PC), 2).astype(jnp.float32)
+                + p0
+            )
             for px in (pxl, pxr):
-                pxc = px[:, None, sl]
-                pyc = py[:, None, sl]
+                pxc = px[:, sl][:, None, :]
                 proj_u = ux[:, :, None] * pxc + uy[:, :, None] * pyc
                 minu = jnp.minimum(
                     minu, jnp.min(jnp.where(pm, proj_u, _INF), axis=2)

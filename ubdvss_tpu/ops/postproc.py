@@ -154,10 +154,19 @@ def postprocess_batch_fused(
         rects_from_selection,
     )
 
-    # rect fit inside a second VMEM kernel; padded slots already hold no
-    # rows (maxx == -1), so no extra masking is needed
-    sel = min_area_rect_select(stats["minx"], stats["maxx"], interpret=interpret)
-    rects = rects_from_selection(sel)
+    # rect fit inside a second VMEM kernel (H <= 128; its unrolled
+    # projection chunks exceed scoped VMEM beyond that — larger heatmaps
+    # use the XLA extremes path, still fed by the kernel's compact stats)
+    if stats["minx"].shape[-1] <= 128:
+        sel = min_area_rect_select(
+            stats["minx"], stats["maxx"], interpret=interpret
+        )
+        rects = rects_from_selection(sel)
+    else:
+        rowany_x = stats["maxx"] >= 0
+        rects = min_area_rect_from_extremes(
+            stats["minx"], stats["maxx"], rowany_x
+        )
     # padded root slots matched the background in the kernel — zero their
     # rect outputs (matches the reference path's empty-component rects)
     rv = root_valid

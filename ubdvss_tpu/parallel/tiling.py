@@ -245,7 +245,17 @@ def tiled_detect(
         check_vma=False,
     )(params, image)
 
-    labels = _compact_global_labels(lab_full, sentinel, Ho, Wo)
-    out = finish_postprocess(logits_full, labels, cfg)
+    # gather-free tail: top-k raster-ordered roots -> per-component masks
+    # (identical to compaction + finish_postprocess; big gathers lower
+    # catastrophically on TPU)
+    from ubdvss_tpu.ops.postproc import (
+        eq_from_raw_labels,
+        finish_from_eq,
+        roots_from_raw_labels,
+    )
+
+    rootvals, root_valid = roots_from_raw_labels(lab_full, cfg.max_components)
+    eq = eq_from_raw_labels(lab_full, rootvals, root_valid)
+    out = finish_from_eq(logits_full, eq, cfg)
     out["logits"] = logits_full
     return out
