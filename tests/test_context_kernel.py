@@ -1,0 +1,70 @@
+"""Fused context-module kernel: forward parity + exact gradients
+(BASELINE.json north_star "Pallas-fused conv+activation blocks")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ubdvss_tpu import NetConfig, get_model, init_params
+from ubdvss_tpu.ops.pallas.context_kernel import (
+    context_head_reference,
+    fused_model_apply,
+    _pack_weights,
+)
+
+
+def test_reference_matches_flax():
+    """The XLA shift-formulation == flax conv stack (same math, ≤1e-5)."""
+    cfg = NetConfig()
+    params = init_params(cfg, 3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 1)).astype(np.float32))
+    ref = get_model(cfg).apply({"params": params}, x)
+    out = fused_model_apply(params, x, cfg, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_kernel_interpret_matches_reference_math():
+    cfg = NetConfig(dilations=(1, 2, 4))
+    params = init_params(cfg, 5)
+    rng = np.random.default_rng(1)
+    xc = jnp.asarray(rng.normal(0, 1, (2, cfg.channels, 32, 32)).astype(np.float32))
+    dw, pwt, pb, hwt, hb = _pack_weights(params, tuple(cfg.dilations))
+    ref = context_head_reference(xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations))
+    from ubdvss_tpu.ops.pallas.context_kernel import _pallas_context_head
+
+    out = _pallas_context_head(xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations), True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_gradients_exact_vs_flax():
+    """custom-VJP grads through the fused path == flax autodiff grads."""
+    cfg = NetConfig(dilations=(1, 2))
+    params = init_params(cfg, 7)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 1)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(0, 1, (1, 8, 8, cfg.n_output_channels)).astype(np.float32))
+
+    def loss_flax(p):
+        return jnp.sum((get_model(cfg).apply({"params": p}, x) - tgt) ** 2)
+
+    def loss_fused(p):
+        return jnp.sum((fused_model_apply(p, x, cfg, interpret=True) - tgt) ** 2)
+
+    g1 = jax.grad(loss_flax)(params)
+    g2 = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.tpu
+def test_kernel_native_tpu_parity():
+    cfg = NetConfig()
+    params = init_params(cfg, 3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 512, 512, 1)).astype(np.float32))
+    ref = get_model(cfg).apply({"params": params}, x)
+    out = fused_model_apply(params, x, cfg, interpret=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -1,0 +1,93 @@
+"""Single-image / directory detection CLI.
+
+Completes the entrypoint surface next to train.py and evaluate.py
+(SURVEY.md §3.3's single-image inference path as a command):
+
+    python -m ubdvss_tpu.detect --images scan.png --checkpoint run1 \
+        [--output out.json] [--save-overlays outdir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ubdvss_tpu.inference import BarcodeDetector
+from ubdvss_tpu.net_config import NetConfig
+
+
+def load_params(checkpoint: str, cfg: NetConfig):
+    from ubdvss_tpu.models.model import init_params
+    from ubdvss_tpu.utils.checkpoint import CheckpointManager, load_params_npz
+
+    if checkpoint.endswith(".npz"):
+        return load_params_npz(checkpoint, init_params(cfg, 0))
+    if checkpoint.endswith(".h5") or checkpoint.endswith(".keras"):
+        from ubdvss_tpu.utils.keras_import import load_keras_weights
+
+        return load_keras_weights(checkpoint, cfg)
+    from ubdvss_tpu.train import create_train_state
+
+    state = create_train_state(cfg)
+    return CheckpointManager(f"{checkpoint}/checkpoints").restore(state).params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Detect barcodes in images")
+    p.add_argument("--images", nargs="+", required=True,
+                   help="image files or directories")
+    p.add_argument("--checkpoint", required=True,
+                   help="logdir, params .npz, or Keras .h5")
+    p.add_argument("--detection-only", action="store_true")
+    p.add_argument("--output", default=None, help="write JSON detections here")
+    p.add_argument("--save-overlays", default=None,
+                   help="directory for box-overlay images")
+    args = p.parse_args(argv)
+
+    import cv2
+
+    cfg = NetConfig(classification=not args.detection_only)
+    det = BarcodeDetector(cfg, load_params(args.checkpoint, cfg))
+
+    paths: list[Path] = []
+    for item in args.images:
+        q = Path(item)
+        paths.extend(sorted(q.glob("*")) if q.is_dir() else [q])
+
+    report = {}
+    for path in paths:
+        img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if img is None:
+            continue
+        if img.ndim == 3:
+            img = img[..., ::-1]
+        dets = det.detect(np.asarray(img))
+        report[str(path)] = [
+            {
+                "box": d.box.tolist(),
+                "class": d.class_name,
+                "score": d.score,
+                "angle_deg": d.angle_deg,
+            }
+            for d in dets
+        ]
+        print(f"{path}: {len(dets)} detections")
+        if args.save_overlays:
+            from ubdvss_tpu.utils.visualization import draw_detections
+
+            out = draw_detections(img, np.stack([d.box for d in dets]) if dets else [])
+            Path(args.save_overlays).mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(
+                str(Path(args.save_overlays) / path.name), out[..., ::-1]
+            )
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -108,7 +108,12 @@ def _detect_program_batch(
         if x.shape[1:] != out_hw:
             x = jax.vmap(lambda im: resize_bilinear(im, out_hw))(x)
         x = normalize(x)
-        logits = get_model(cfg).apply({"params": params}, x[..., None])
+        if cfg.separable_context and cfg.dtype == "float32":
+            from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
+
+            logits = fused_model_apply(params, x[..., None], cfg)
+        else:
+            logits = get_model(cfg).apply({"params": params}, x[..., None])
         return postprocess_batch_fused(logits, cfg), logits
 
     def one(img):

@@ -53,32 +53,52 @@ def _dw_shift_mac(x, w9, dilation):
                 xs = _shift(xs, -ty * dilation, 1, 0.0)
             if tx:
                 xs = _shift(xs, -tx * dilation, 2, 0.0)
-            term = xs * w9[t][:, None, None]
+            term = xs * w9[t]
             acc = term if acc is None else acc + term
             t += 1
     return acc
 
 
 def _context_kernel(
-    x_ref, dw_ref, pwt_ref, pb_ref, hwt_ref, hb_ref, out_ref, *, dilations, C, O
+    x_ref, dw_ref, pwt_ref, pb_ref, hwt_ref, hb_ref, out_ref, acc_ref,
+    *, dilations, C, O, with_head
 ):
     x = x_ref[0]  # (C, H, W)
     for li, d in enumerate(dilations):
-        w9 = dw_ref[li]  # (9, C)
-        y = _dw_shift_mac(x, w9, d)
+        w9 = dw_ref[li]  # (9, C, 1, 1) -> taps index to (C, 1, 1)
+        # accumulate taps through a VMEM scratch ref — as SSA temps Mosaic
+        # keeps all 9 shifted copies live and blows the scoped-VMEM budget
+        acc_ref[:] = x * w9[4]
+        t = 0
+        for ty in (-1, 0, 1):
+            for tx in (-1, 0, 1):
+                if ty == 0 and tx == 0:
+                    t += 1
+                    continue
+                xs = x
+                if ty:
+                    xs = _shift(xs, -ty * d, 1, 0.0)
+                if tx:
+                    xs = _shift(xs, -tx * d, 2, 0.0)
+                acc_ref[:] = acc_ref[:] + xs * w9[t]
+                t += 1
+        y = acc_ref[:]
         # pointwise: (C_out, C_in) @ (C_in, H, W) on the MXU
         y = lax.dot_general(
             pwt_ref[li],
             y,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
-        x = jnp.maximum(y + pb_ref[li][:, None, None], 0.0)
-    logits = lax.dot_general(
-        hwt_ref[:], x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0] = logits + hb_ref[:][:, None, None]
+        x = jnp.maximum(y + pb_ref[li], 0.0)
+    if with_head:
+        x = lax.dot_general(
+            hwt_ref[:], x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        ) + hb_ref[:]
+    out_ref[0] = x
 
 
 def _pack_weights(params, dilations):
@@ -88,46 +108,71 @@ def _pack_weights(params, dilations):
     for i in range(L):
         p = params[f"context_{i}"]
         dk = jnp.asarray(p["depthwise"]["kernel"], jnp.float32)  # (3,3,1,C)
-        dws.append(dk[:, :, 0, :].reshape(9, -1))
+        dws.append(dk[:, :, 0, :].reshape(9, -1)[:, :, None, None])
         pk = jnp.asarray(p["pointwise"]["kernel"], jnp.float32)  # (1,1,C,C)
         pwts.append(pk[0, 0].T)  # (C_out, C_in)
-        pbs.append(jnp.asarray(p["pointwise"]["bias"], jnp.float32))
+        pbs.append(jnp.asarray(p["pointwise"]["bias"], jnp.float32)[:, None, None])
     hw = jnp.asarray(params["head"]["kernel"], jnp.float32)[0, 0]  # (C, O)
     hb = jnp.asarray(params["head"]["bias"], jnp.float32)
     return (
-        jnp.stack(dws),  # (L, 9, C)
+        jnp.stack(dws),  # (L, 9, C, 1, 1)
         jnp.stack(pwts),  # (L, C, C)
-        jnp.stack(pbs),  # (L, C)
+        jnp.stack(pbs),  # (L, C, 1, 1)
         hw.T,  # (O, C)
-        hb,  # (O,)
+        hb[:, None, None],  # (O, 1, 1)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dilations", "interpret"))
-def _pallas_context_head(x_nchw, dw, pwt, pb, hwt, hb, dilations, interpret=False):
+_LAYERS_PER_KERNEL = 7  # all context layers + head in one program
+
+
+def _pallas_chunk(x_nchw, dw, pwt, pb, hwt, hb, dilations, with_head, interpret):
     B, C, H, W = x_nchw.shape
-    O = hwt.shape[0]
+    O = hwt.shape[0] if with_head else C
     kernel = functools.partial(
-        _context_kernel, dilations=dilations, C=C, O=O
+        _context_kernel, dilations=dilations, C=C, O=O, with_head=with_head
     )
-    rep = lambda *idx: tuple(0 for _ in idx)
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, C, H, W), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(dw.shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(dw.shape, lambda b: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(pwt.shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(pb.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pb.shape, lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(hwt.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(hb.shape, lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(hb.shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, O, H, W), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, O, H, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, H, W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_nchw.astype(jnp.float32), dw, pwt, pb, hwt, hb)
+
+
+@functools.partial(jax.jit, static_argnames=("dilations", "interpret"))
+def _pallas_context_head(x_nchw, dw, pwt, pb, hwt, hb, dilations, interpret=False):
+    L = len(dilations)
+    x = x_nchw
+    for start in range(0, L, _LAYERS_PER_KERNEL):
+        stop = min(start + _LAYERS_PER_KERNEL, L)
+        x = _pallas_chunk(
+            x,
+            dw[start:stop],
+            pwt[start:stop],
+            pb[start:stop],
+            hwt,
+            hb,
+            tuple(dilations[start:stop]),
+            with_head=(stop == L),
+            interpret=interpret,
+        )
+    return x
 
 
 def context_head_reference(x_nchw, dw, pwt, pb, hwt, hb, dilations):
@@ -152,17 +197,17 @@ def context_head_reference(x_nchw, dw, pwt, pb, hwt, hb, dilations):
                     xs = shift(xs, -ty * d, 2)
                 if tx:
                     xs = shift(xs, -tx * d, 3)
-                acc = acc + xs * dw[li, t][None, :, None, None]
+                acc = acc + xs * dw[li, t][None]
                 t += 1
         y = jnp.einsum(
             "oc,bchw->bohw", pwt[li], acc,
             precision=lax.Precision.HIGHEST,
         )
-        x = jnp.maximum(y + pb[li][None, :, None, None], 0.0)
+        x = jnp.maximum(y + pb[li][None], 0.0)
     logits = jnp.einsum(
         "oc,bchw->bohw", hwt, x, precision=lax.Precision.HIGHEST
     )
-    return logits + hb[None, :, None, None]
+    return logits + hb[None]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -213,7 +258,14 @@ def fused_model_apply(
         x = jnp.maximum(x, 0.0)
     xc = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the kernel
     dw, pwt, pb, hwt, hb = _pack_weights(params, tuple(cfg.dilations))
-    logits = fused_context_head(
-        xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations), interpret
-    )
+    # Mosaic's in-kernel (C, H, W) matmul merges H*W onto lanes, which needs
+    # W to be a 128-multiple; smaller heatmaps use the identical XLA math
+    if xc.shape[-1] % 128 == 0 or interpret:
+        logits = fused_context_head(
+            xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations), interpret
+        )
+    else:
+        logits = context_head_reference(
+            xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations)
+        )
     return jnp.transpose(logits, (0, 2, 3, 1))  # NHWC
