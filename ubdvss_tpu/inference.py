@@ -79,10 +79,10 @@ def detect_program_batch(
     """
     if fused is None:
         fused = _default_device_is_tpu()
-    # the fused Pallas kernels target per-image heatmaps up to ~256x256
-    # (1024px inputs); larger scans route through the XLA path here or,
-    # better, through parallel.tiling.tiled_detect (BASELINE config 4)
-    if max(out_hw) // cfg.scale > 256:
+    # the fused Pallas kernels are validated for per-image heatmaps up to
+    # 512x512 (2048px scans); anything larger routes through the XLA path
+    # or, better, through parallel.tiling.tiled_detect (BASELINE config 4)
+    if max(out_hw) // cfg.scale > 512:
         fused = False
     return _detect_program_batch(params, imgs, cfg, out_hw, channel_order, fused)
 
@@ -108,7 +108,7 @@ def _detect_program_batch(
         if x.shape[1:] != out_hw:
             x = jax.vmap(lambda im: resize_bilinear(im, out_hw))(x)
         x = normalize(x)
-        if cfg.separable_context and cfg.dtype == "float32":
+        if cfg.separable_context:
             from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
 
             logits = fused_model_apply(params, x[..., None], cfg)

@@ -178,6 +178,9 @@ def component_slots_from_logits(
             jax.ShapeDtypeStruct((B, K, H), jnp.int32),
         ),
         scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(det_logits.astype(jnp.float32))
     return {

@@ -298,6 +298,9 @@ def min_area_rect_select(
             (1, 1, 9, kc), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, nchunk, 9, kc), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(minx.astype(jnp.int32), maxx.astype(jnp.int32))
     # (B, nchunk, 9, kc) -> (B, 9, K)

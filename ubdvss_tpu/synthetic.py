@@ -21,12 +21,30 @@ from ubdvss_tpu.markup import BarcodeObject, MarkupReader, Sample
 from ubdvss_tpu.net_config import CLASS_GROUPS, DEFAULT_CLASS_NAMES
 
 
-def _render_barcode(rng: np.random.Generator, w: int, h: int, group: str) -> np.ndarray:
-    """A (h, w) uint8 barcode texture, dark modules on light quiet zone."""
+def _class_rng(name: str) -> np.random.Generator:
+    """Deterministic per-class generator: every instance of a class shares
+    its signature pattern, making barcode-type classification learnable
+    (real symbologies are visually distinctive; paper §4 reports per-type
+    accuracy)."""
+    seed = int.from_bytes(name.encode(), "little") % (2**31)
+    return np.random.default_rng(seed)
+
+
+def _render_barcode(
+    rng: np.random.Generator, w: int, h: int, group: str, name: str = ""
+) -> np.ndarray:
+    """A (h, w) uint8 barcode texture, dark modules on light quiet zone.
+
+    Texture combines a fixed per-class signature (bar-width sequence /
+    module layout / finder marks) with per-instance randomness.
+    """
     img = np.full((h, w), 255, np.uint8)
+    crng = _class_rng(name or group)
     if group == "1D":
-        n_bars = max(8, w // 3)
-        widths = rng.integers(1, 4, n_bars)
+        # class signature: fixed bar-width base sequence; instance: phase
+        base = crng.integers(1, 4, 64)
+        phase = int(rng.integers(0, 32))
+        widths = np.concatenate([base[phase:], base[:phase], base])
         xs = np.cumsum(widths)
         xs = (xs / max(xs[-1], 1) * (w - 2)).astype(int)
         dark = True
@@ -37,15 +55,47 @@ def _render_barcode(rng: np.random.Generator, w: int, h: int, group: str) -> np.
             dark = not dark
             prev = x
     elif group == "postal":
+        # class signature: fixed tall/short bar-height pattern
+        pattern = crng.choice([0.45, 0.7, 1.0], 48)
         n_bars = max(6, w // 4)
         xs = np.linspace(1, w - 2, n_bars).astype(int)
-        for x in xs:
-            bh = int(h * rng.choice([0.5, 1.0]) * 0.8)
+        for i, x in enumerate(xs):
+            bh = int(h * pattern[i % len(pattern)] * 0.85)
             img[(h - bh) // 2 : (h + bh) // 2, x : x + 2] = 0
-    else:  # 2D
-        mod = max(2, min(w, h) // rng.integers(8, 16))
+    else:  # 2D: class-specific module size + finder-mark style
+        mod = max(2, min(w, h) // int(crng.integers(8, 16)))
         gh, gw = max(1, (h - 2) // mod), max(1, (w - 2) // mod)
         grid = rng.random((gh, gw)) < 0.5
+        # finder style per class (cycled deterministically)
+        style = int(crng.integers(0, 4))
+        fs = max(2, min(gh, gw) // 4)
+        if style == 0 and gh > fs and gw > fs:  # QR-like corner squares
+            for (r0, c0) in [(0, 0), (0, gw - fs), (gh - fs, 0)]:
+                grid[r0 : r0 + fs, c0 : c0 + fs] = True
+                if fs > 2:
+                    grid[r0 + 1 : r0 + fs - 1, c0 + 1 : c0 + fs - 1] = False
+        elif style == 1:  # Aztec-like center bullseye
+            cy, cx = gh // 2, gw // 2
+            for ring in range(min(gh, gw) // 2):
+                val = ring % 2 == 0
+                r0, r1 = max(0, cy - ring), min(gh, cy + ring + 1)
+                c0, c1 = max(0, cx - ring), min(gw, cx + ring + 1)
+                grid[r0:r1, c0] = val
+                grid[r0:r1, c1 - 1] = val
+                grid[r0, c0:c1] = val
+                grid[r1 - 1, c0:c1] = val
+                if ring >= 3:
+                    break
+        elif style == 2:  # DataMatrix-like solid L border + dashed top/right
+            grid[:, 0] = True
+            grid[-1, :] = True
+            grid[0, ::2] = True
+            grid[::2, -1] = True
+        else:  # PDF417-like row bands with start/stop bars
+            grid[:, :2] = True
+            grid[:, -2:] = True
+            for r in range(0, gh, 2):
+                grid[r, 2:-2] = rng.random(max(gw - 4, 0)) < 0.7
         tex = np.kron(grid, np.ones((mod, mod), bool))[: h - 2, : w - 2]
         img[1 : 1 + tex.shape[0], 1 : 1 + tex.shape[1]][tex] = 0
     return img
@@ -81,7 +131,7 @@ def generate_sample(
         bh = int(rng.integers(24, max(25, H // 4)))
         if group == "postal":
             bh = max(12, bh // 2)
-        tex = _render_barcode(rng, bw, bh, group)
+        tex = _render_barcode(rng, bw, bh, group, name)
         ang = float(rng.uniform(-30, 30)) if rng.random() < 0.5 else 0.0
         c, s = np.cos(np.radians(ang)), np.sin(np.radians(ang))
         rot = np.array([[c, -s], [s, c]], np.float32)
