@@ -79,10 +79,11 @@ def detect_program_batch(
     """
     if fused is None:
         fused = _default_device_is_tpu()
-    # the fused Pallas kernels are validated for per-image heatmaps up to
-    # 512x512 (2048px scans); anything larger routes through the XLA path
-    # or, better, through parallel.tiling.tiled_detect (BASELINE config 4)
-    if max(out_hw) // cfg.scale > 512:
+    # the fused Pallas kernels target per-image heatmaps up to 256x256
+    # (1024px inputs) — the H=512 variants compile but take tens of minutes
+    # in the Mosaic AOT compiler; 2048px scans route through the XLA path
+    # here or, better, through parallel.tiling.tiled_detect (config 4)
+    if max(out_hw) // cfg.scale > 256:
         fused = False
     return _detect_program_batch(params, imgs, cfg, out_hw, channel_order, fused)
 
