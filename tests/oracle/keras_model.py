@@ -7,7 +7,10 @@ architecture (SURVEY.md §4.1): heatmaps must match the JAX model to ≤1e-5
 (BASELINE.json north_star).
 
 Runs on the TensorFlow backend so the conv arithmetic is computed by a
-different stack (TF CPU kernels) than the system under test (XLA).
+different stack (TF CPU kernels) than the system under test (XLA).  The
+model builder itself is shared with the production import path
+(ubdvss_tpu.utils.keras_import); this module adds the flax→keras weight
+copy used by the parity tests.
 """
 
 import os
@@ -15,40 +18,12 @@ import os
 os.environ.setdefault("KERAS_BACKEND", "tensorflow")
 
 import numpy as np  # noqa: E402
-import keras  # noqa: E402
 
 from ubdvss_tpu.net_config import NetConfig  # noqa: E402
+from ubdvss_tpu.utils.keras_import import build_keras_model  # noqa: E402,F401
 
 
-def build_keras_model(cfg: NetConfig, input_hw=(None, None)) -> keras.Model:
-    """Same architecture as ubdvss_tpu.models.model.BarcodeFCN."""
-    inp = keras.Input(shape=(*input_hw, 1))
-    x = inp
-    for i in range(2):
-        x = keras.layers.Conv2D(
-            cfg.channels, 3, strides=2, padding="same", activation="relu",
-            name=f"downscale_{i}",
-        )(x)
-    for i, d in enumerate(cfg.dilations):
-        if cfg.separable_context:
-            x = keras.layers.DepthwiseConv2D(
-                3, dilation_rate=d, padding="same", use_bias=False,
-                name=f"context_{i}_dw",
-            )(x)
-            x = keras.layers.Conv2D(
-                cfg.channels, 1, padding="same", name=f"context_{i}_pw"
-            )(x)
-        else:
-            x = keras.layers.Conv2D(
-                cfg.channels, 3, dilation_rate=d, padding="same",
-                name=f"context_{i}",
-            )(x)
-        x = keras.layers.ReLU()(x)
-    out = keras.layers.Conv2D(cfg.n_output_channels, 1, padding="same", name="head")(x)
-    return keras.Model(inp, out)
-
-
-def copy_flax_params_to_keras(params: dict, model: keras.Model, cfg: NetConfig):
+def copy_flax_params_to_keras(params: dict, model, cfg: NetConfig):
     """Load flax param pytree into the keras oracle (layout conversion)."""
     for i in range(2):
         p = params[f"downscale_{i}"]
