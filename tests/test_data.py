@@ -98,6 +98,63 @@ def test_augment_deterministic_under_key():
     assert not np.allclose(np.asarray(i1), np.asarray(i3))
 
 
+def test_translation_decorrelated():
+    """tx/ty must come from independent subkeys (ADVICE r1: both drawn from
+    one key -> perfectly correlated diagonal-only jitter)."""
+    cfg = AugmentConfig(rotation_deg=0.0, scale_range=(1.0, 1.0),
+                        flip_prob=0.0, translate_frac=0.2)
+    center = np.array([32.0, 32.0])
+    keys = jax.random.split(jax.random.key(0), 500)
+    ms = jax.vmap(lambda k: random_affine(k, cfg, (64, 64)))(keys)
+    # with identity rot, translation = m[:, 2] directly (center cancels)
+    t = np.asarray(ms[:, :, 2]) - center
+    corr = np.corrcoef(t[:, 0], t[:, 1])[0, 1]
+    assert abs(corr) < 0.5, f"tx/ty correlated: r={corr:.3f}"
+    assert t[:, 0].std() > 1.0 and t[:, 1].std() > 1.0
+
+
+def test_flip_y_mirrors_rows():
+    """flip_y_prob=1: image rows mirror and poly y-coords reflect about the
+    center, consistently."""
+    img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4))
+    cfg = AugmentConfig(rotation_deg=0.0, scale_range=(1.0, 1.0),
+                        translate_frac=0.0, flip_prob=0.0, flip_y_prob=1.0,
+                        brightness=0.0, contrast_range=(1.0, 1.0),
+                        noise_std=0.0)
+    m = random_affine(jax.random.key(0), cfg, (4, 4))
+    out = np.asarray(affine_warp(img, m, 0.0))
+    # y -> (h-1) - y about the pixel-center midpoint (h/2 = 2.0 here maps
+    # row 0 <-> row 4 which is out of frame; center convention maps
+    # y' = 2*cy - y with cy = 2.0), so row r samples source row 4-r:
+    # rows 1..3 land on source rows 3..1; row 0 samples row 4 (fill).
+    np.testing.assert_allclose(out[1:], np.asarray(img)[:0:-1])
+    pts = transform_points(jnp.asarray([[1.0, 1.0]]), m)
+    np.testing.assert_allclose(np.asarray(pts), [[1.0, 3.0]], atol=1e-5)
+
+
+def test_random_crop_zooms_consistently():
+    """crop_frac>0: the affine zooms in (dets get bigger) and image/poly
+    stay consistent — a poly vertex tracks its image feature."""
+    rng = np.random.default_rng(0)
+    img = np.zeros((64, 64), np.float32)
+    img[30:34, 20:24] = 255.0  # bright blob
+    cfg = AugmentConfig(rotation_deg=0.0, scale_range=(1.0, 1.0),
+                        translate_frac=0.0, flip_prob=0.0, crop_frac=0.4,
+                        brightness=0.0, contrast_range=(1.0, 1.0),
+                        noise_std=0.0)
+    for seed in range(5):
+        m = np.asarray(random_affine(jax.random.key(seed), cfg, (64, 64)))
+        # pure zoom: scale = 1/cs >= 1, no rotation
+        assert m[0, 0] >= 1.0 - 1e-6 and abs(m[0, 1]) < 1e-6
+        out = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(m), 0.0))
+        blob_c = transform_points(jnp.asarray([[22.0, 32.0]]), jnp.asarray(m))
+        bx, by = np.asarray(blob_c)[0]
+        if 2 <= bx <= 61 and 2 <= by <= 61:  # blob center still in frame
+            yy, xx = np.unravel_index(out.argmax(), out.shape)
+            assert abs(xx - bx) <= m[0, 0] * 2 + 1
+            assert abs(yy - by) <= m[0, 0] * 2 + 1
+
+
 def test_batches_contract():
     cfg = NetConfig()
     reader = SyntheticMarkupReader(n_samples=10, image_hw=(96, 128), seed=3)

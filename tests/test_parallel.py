@@ -48,6 +48,74 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_dp_cli_matches_single_device():
+    """`train --num-devices 8` (first-class trainer DP) must produce the
+    same final loss as the single-device CLI run."""
+    from ubdvss_tpu import train as train_mod
+
+    base = [
+        "--train-data", "synthetic",
+        "--epochs", "2",
+        "--batch-size", "8",
+        "--lr", "1e-3",
+        "--synthetic-samples", "8",
+        "--train-size", "64", "64",
+        "--no-augment",
+        "--seed", "3",
+    ]
+    t1 = train_mod.main(base)
+    t8 = train_mod.main(base + ["--num-devices", "8"])
+    assert t8.mesh is not None and t8.mesh.devices.size == 8
+    assert t1._last_train_metrics is not None
+    assert abs(
+        t1._last_train_metrics["loss"] - t8._last_train_metrics["loss"]
+    ) < 1e-5
+
+
+def test_distributed_flag_plumbing():
+    """--distributed wiring: jax.distributed.initialize() before mesh
+    construction, single-process guard (SURVEY.md §2c; real multi-host DCN
+    cannot run here — num_processes=1 exercises the ordering + flags)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = f"""
+import jax
+from ubdvss_tpu.train import setup_devices
+mesh = setup_devices("8", distributed=True, coordinator="localhost:{port}",
+                     num_processes=1, process_id=0)
+assert jax.process_count() == 1
+assert mesh.devices.size == 8
+with jax.default_device(jax.devices("cpu")[0]):
+    from ubdvss_tpu import NetConfig
+    from ubdvss_tpu.data import Batches, DataConfig
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.train import Trainer
+    cfg = NetConfig()
+    dc = DataConfig(batch_size=8, train_hw=(64, 64), augment=None)
+    reader = SyntheticMarkupReader(n_samples=8, image_hw=(64, 64), seed=0)
+    batch = next(iter(Batches(reader, cfg, dc, train=True).epoch(0)))
+    tr = Trainer(cfg, dc, mesh=mesh)
+    _, m = tr.step_fn(tr.state, tr.place_batch(batch))
+    print("DIST_OK", float(m["loss"]))
+"""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "DIST_OK" in out.stdout, out.stderr[-2000:]
+
+
 def _partition_equal(ours, theirs):
     if not np.array_equal(ours > 0, theirs > 0):
         return False

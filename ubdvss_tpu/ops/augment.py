@@ -28,7 +28,9 @@ class AugmentConfig:
     rotation_deg: float = 15.0
     scale_range: tuple[float, float] = (0.8, 1.25)
     translate_frac: float = 0.05
-    flip_prob: float = 0.5
+    flip_prob: float = 0.5  # x-mirror probability
+    flip_y_prob: float = 0.0  # y-mirror probability (off by default)
+    crop_frac: float = 0.0  # random crop: window side in [1-crop_frac, 1]
     brightness: float = 30.0  # additive, 0..255 domain
     contrast_range: tuple[float, float] = (0.8, 1.2)
     noise_std: float = 4.0
@@ -36,25 +38,49 @@ class AugmentConfig:
 
 
 def random_affine(key: jax.Array, cfg: AugmentConfig, hw: tuple[int, int]) -> jax.Array:
-    """(2, 3) forward affine (about the image center) in (x, y) coords."""
+    """(2, 3) forward affine (about the image center) in (x, y) coords.
+
+    Every factor draws from its OWN subkey — r1 drew tx and ty from one key,
+    which made translation perfectly correlated (diagonal-only jitter,
+    ADVICE r1).  Random crop composes a zoom-to-window affine after the
+    center transform; flips mirror x and/or y before rotation.
+    """
     h, w = hw
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k_ang, k_sc, k_tx, k_ty, k_fx, k_fy, k_cs, k_cx, k_cy = jax.random.split(
+        key, 9
+    )
     ang = jnp.radians(
-        jax.random.uniform(k1, (), minval=-cfg.rotation_deg, maxval=cfg.rotation_deg)
+        jax.random.uniform(
+            k_ang, (), minval=-cfg.rotation_deg, maxval=cfg.rotation_deg
+        )
     )
     sc = jax.random.uniform(
-        k2, (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1]
+        k_sc, (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1]
     )
-    tx = jax.random.uniform(k3, (), minval=-cfg.translate_frac, maxval=cfg.translate_frac) * w
-    ty = jax.random.uniform(k3, (), minval=-cfg.translate_frac, maxval=cfg.translate_frac) * h
-    flip = jnp.where(jax.random.uniform(k4) < cfg.flip_prob, -1.0, 1.0)
+    tf = cfg.translate_frac
+    tx = jax.random.uniform(k_tx, (), minval=-tf, maxval=tf) * w
+    ty = jax.random.uniform(k_ty, (), minval=-tf, maxval=tf) * h
+    flip_x = jnp.where(jax.random.uniform(k_fx) < cfg.flip_prob, -1.0, 1.0)
+    flip_y = jnp.where(jax.random.uniform(k_fy) < cfg.flip_y_prob, -1.0, 1.0)
     c, s = jnp.cos(ang) * sc, jnp.sin(ang) * sc
     rot = jnp.stack(
-        [jnp.stack([c * flip, -s]), jnp.stack([s * flip, c])]
-    )  # column-x flip then rotate+scale
+        [jnp.stack([c * flip_x, -s * flip_y]), jnp.stack([s * flip_x, c * flip_y])]
+    )  # mirror x/y then rotate+scale
     center = jnp.array([w / 2.0, h / 2.0])
     trans = center + jnp.stack([tx, ty]) - rot @ center
-    return jnp.concatenate([rot, trans[:, None]], axis=1)  # (2, 3)
+    m = jnp.concatenate([rot, trans[:, None]], axis=1)  # (2, 3)
+    if cfg.crop_frac > 0.0:
+        # random window of side cs (fraction of full frame) zoomed to frame:
+        # p -> (p - o) / cs, composed after the center transform
+        cs = jax.random.uniform(k_cs, (), minval=1.0 - cfg.crop_frac, maxval=1.0)
+        ox = jax.random.uniform(k_cx, (), minval=0.0, maxval=1.0) * (1.0 - cs) * w
+        oy = jax.random.uniform(k_cy, (), minval=0.0, maxval=1.0) * (1.0 - cs) * h
+        crop_rot = jnp.eye(2) / cs
+        crop_t = -jnp.stack([ox, oy]) / cs
+        m = jnp.concatenate(
+            [crop_rot @ m[:, :2], (crop_rot @ m[:, 2] + crop_t)[:, None]], axis=1
+        )
+    return m
 
 
 def transform_points(pts: jax.Array, matrix: jax.Array) -> jax.Array:

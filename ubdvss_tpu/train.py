@@ -38,6 +38,11 @@ from ubdvss_tpu.markup import get_markup_reader
 from ubdvss_tpu.metrics import pixel_detection_metrics
 from ubdvss_tpu.models.model import get_model, init_params
 from ubdvss_tpu.net_config import NetConfig
+from ubdvss_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_to_mesh,
+    shard_batch_to_mesh,
+)
 from ubdvss_tpu.utils.checkpoint import CheckpointManager
 from ubdvss_tpu.utils.logging_util import MetricLogger
 
@@ -160,8 +165,16 @@ class Trainer:
     best_metric: str | None = "pixel_f1"
     debug_checks: bool = False
     seed: int = 0
+    mesh: Any | None = None  # jax.sharding.Mesh for data parallelism
 
     def __post_init__(self):
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            if self.data_cfg.batch_size % n:
+                raise ValueError(
+                    f"batch_size={self.data_cfg.batch_size} not divisible by "
+                    f"the {n}-device data mesh"
+                )
         self.state = create_train_state(
             self.cfg,
             self.lr,
@@ -171,6 +184,7 @@ class Trainer:
             warmup_steps=self.warmup_steps,
             decay_steps=self.decay_steps,
         )
+        self.state = self.place_state(self.state)
         self.logger = MetricLogger(self.logdir)
         self.ckpt = (
             CheckpointManager(f"{self.logdir}/checkpoints") if self.logdir else None
@@ -185,19 +199,38 @@ class Trainer:
             else None
         )
         self._last_val_metrics: dict | None = None
+        self._last_train_metrics: dict | None = None
 
     def maybe_resume(self) -> int:
         if self.ckpt and self.ckpt.latest_step() is not None:
-            self.state = self.ckpt.restore(self.state)
+            self.state = self.place_state(self.ckpt.restore(self.state))
             print(f"resumed from step {int(self.state.step)}")
         return int(self.state.step)
 
-    def _step(self, batch):
+    def place_state(self, state: TrainState) -> TrainState:
+        """Replicate params/opt state across the data mesh (no-op without
+        one).  XLA's GSPMD partitioner then inserts the gradient all-reduce
+        over ICI inside the jitted step (SURVEY.md §2c "Data parallel")."""
+        if self.mesh is None:
+            return state
+        return replicate_to_mesh(state, self.mesh)
+
+    def place_batch(self, batch: dict) -> dict:
+        """Shard every leaf's leading (batch) dim over the data mesh."""
+        if self.mesh is None:
+            return batch
+        return shard_batch_to_mesh(batch, self.mesh)
+
+    def step_fn(self, state: TrainState, batch: dict):
+        """One optimization step on already-placed (state, batch)."""
         if self.debug_checks:
-            err, (state, metrics) = checked_train_step(self.state, batch, self.cfg)
+            err, out = checked_train_step(state, batch, self.cfg)
             err.throw()
-            return state, metrics
-        return train_step(self.state, batch, self.cfg)
+            return out
+        return train_step(state, batch, self.cfg)
+
+    def _step(self, batch):
+        return self.step_fn(self.state, self.place_batch(batch))
 
     def _image_summary(self, step: int, batch) -> None:
         """Prediction overlays for the first val images (host, off hot path)."""
@@ -220,6 +253,7 @@ class Trainer:
         val_batches: Batches | None = None,
     ) -> TrainState:
         step = int(self.state.step)
+        metrics = None
         for epoch in range(epochs):
             for batch in train_batches.epoch(epoch):
                 self.state, metrics = self._step(batch)
@@ -235,7 +269,7 @@ class Trainer:
                     if first_batch is None:
                         first_batch = batch
                     for k, v in jax.device_get(
-                        eval_step(self.state, batch, self.cfg)
+                        eval_step(self.state, self.place_batch(batch), self.cfg)
                     ).items():
                         agg.setdefault(k, []).append(v)
                 val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
@@ -245,6 +279,10 @@ class Trainer:
                     self._image_summary(step, first_batch)
                 if self.best_ckpt and self.best_metric in val_metrics:
                     self.best_ckpt.save(step, self.state, metrics=val_metrics)
+        if metrics is not None:
+            self._last_train_metrics = {
+                k: float(v) for k, v in jax.device_get(metrics).items()
+            }
         if self.ckpt:
             self.ckpt.save(step, self.state)
         return self.state
@@ -277,11 +315,80 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="checkify NaN/inf/OOB guards (debug builds)")
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace into this dir")
+    p.add_argument("--num-devices", default=None,
+                   help="data-parallel over N devices ('auto' = all); "
+                        "batch is sharded per chip, grads all-reduced by XLA")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() before "
+                        "mesh construction (DCN across hosts, ICI within)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (multi-host; "
+                        "omit on TPU pods where it is auto-detected)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
-def main(argv: list[str] | None = None) -> TrainState:
+def setup_devices(
+    num_devices: str | None,
+    distributed: bool = False,
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Resolve the CLI's device/mesh request → Mesh | None.
+
+    Multi-host wiring (SURVEY.md §2c "Communication backend"): with
+    --distributed, ``jax.distributed.initialize()`` must run BEFORE any
+    device query or mesh construction so each process sees the global device
+    set; the mesh then spans DCN-connected hosts while per-host shards ride
+    ICI.  On TPU pods initialize() auto-detects the coordinator; elsewhere
+    pass --coordinator/--num-processes/--process-id explicitly.  Restart
+    recovery: every process re-runs this entrypoint with --resume and the
+    orbax auto-resume picks up the latest checkpoint (SURVEY.md §5).
+    """
+    if distributed:
+        kw = {}
+        if coordinator is not None:
+            kw = dict(
+                coordinator_address=coordinator,
+                num_processes=num_processes if num_processes is not None else 1,
+                process_id=process_id if process_id is not None else 0,
+            )
+        jax.distributed.initialize(**kw)
+        if jax.process_count() <= 1:
+            print("--distributed with a single process; DCN path inactive")
+    if num_devices is None:
+        return None
+    if num_devices == "auto":
+        n = None
+    else:
+        try:
+            n = int(num_devices)
+        except ValueError:
+            raise ValueError(
+                f"--num-devices must be an integer or 'auto', got {num_devices!r}"
+            ) from None
+    devices = jax.devices()
+    if n is not None and len(devices) < n:
+        # fall back to the virtual CPU device set (tests / dry runs —
+        # SURVEY.md §4.5: the TPU plugin wins default-backend selection, so
+        # fake-device runs must select CPU devices explicitly)
+        devices = jax.devices("cpu")
+    if n is not None and len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return make_mesh(n, axis="data", devices=devices)
+
+
+def main(argv: list[str] | None = None) -> Trainer:
     args = build_argparser().parse_args(argv)
+    mesh = setup_devices(
+        args.num_devices,
+        args.distributed,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
     cfg = NetConfig(classification=not args.detection_only)
     fmt = "synthetic" if args.train_data == "synthetic" else args.markup_format
     reader_kw: dict[str, Any] = {}
@@ -314,13 +421,15 @@ def main(argv: list[str] | None = None) -> TrainState:
         logdir=args.logdir,
         debug_checks=args.debug_nan,
         seed=args.seed,
+        mesh=mesh,
     )
     if args.resume:
         trainer.maybe_resume()
     from ubdvss_tpu.utils.profiling import trace
 
     with trace(args.profile):
-        return trainer.fit(train_b, args.epochs, val_b)
+        trainer.fit(train_b, args.epochs, val_b)
+    return trainer
 
 
 if __name__ == "__main__":
