@@ -60,6 +60,7 @@ def test_gradients_exact_vs_flax():
 
 
 @pytest.mark.tpu
+@pytest.mark.slow
 def test_kernel_native_tpu_parity():
     cfg = NetConfig()
     params = init_params(cfg, 3)
@@ -70,6 +71,7 @@ def test_kernel_native_tpu_parity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_bf16_stem_perf_mode_detections():
     """cfg.dtype='bfloat16' fused path: same detection structure as f32
     (per-box deltas possible on borderline threshold pixels; class/count

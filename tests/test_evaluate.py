@@ -1,6 +1,7 @@
 """Matcher unit tests (SURVEY.md §4.2 "IoU matcher vs brute force")."""
 
 import numpy as np
+import pytest
 
 from ubdvss_tpu.evaluate import evaluate_detections, match_image
 
@@ -58,3 +59,77 @@ def test_evaluate_aggregation():
     assert r.class_accuracy == 1.0
     assert r.n_images == 2 and r.n_gt == 2 and r.n_pred == 1
     assert "precision" in r.to_json()
+
+
+def test_per_class_and_group_metrics():
+    """Per-type P/R/F1 + 1D/2D/postal group aggregates (paper §4)."""
+    from ubdvss_tpu.net_config import DEFAULT_CLASS_NAMES
+
+    names = DEFAULT_CLASS_NAMES
+    qr = names.index("QRCode")          # group 2D
+    aztec = names.index("Aztec")        # group 2D
+    ean = names.index("EAN13")          # group 1D
+    per_image = [
+        dict(  # QR matched & typed right; EAN matched but typed as QR
+            pred_boxes=np.stack([_box(0, 0, 10, 10), _box(40, 40, 10, 10)]),
+            pred_scores=np.array([0.9, 0.8]),
+            pred_classes=np.array([qr, qr]),
+            gt_polys=[_box(0, 0, 10, 10), _box(40, 40, 10, 10)],
+            gt_classes=[qr, ean],
+        ),
+        dict(  # Aztec GT missed entirely; stray EAN false positive
+            pred_boxes=np.stack([_box(80, 80, 5, 5)]),
+            pred_scores=np.array([0.7]),
+            pred_classes=np.array([ean]),
+            gt_polys=[_box(0, 0, 10, 10)],
+            gt_classes=[aztec],
+        ),
+    ]
+    r = evaluate_detections(per_image, class_names=names)
+    assert r.tp == 2 and r.fp == 1 and r.fn == 1
+    pc = r.per_class
+    assert pc["QRCode"] == dict(
+        precision=pc["QRCode"]["precision"], recall=1.0, f1=pc["QRCode"]["f1"],
+        accuracy=1.0, n_gt=1, tp=1, fp=0, fn=0,
+    )
+    assert pc["EAN13"]["tp"] == 1 and pc["EAN13"]["fp"] == 1
+    assert pc["EAN13"]["accuracy"] == 0.0  # matched but typed as QR
+    assert pc["Aztec"]["recall"] == 0.0 and pc["Aztec"]["fn"] == 1
+    assert "Code39" not in pc  # absent classes omitted
+    g = r.per_group
+    # 2D group: QR tp=1 hit=1, Aztec fn=1 -> recall 0.5, exact acc 1.0
+    assert g["2D"]["n_gt"] == 2 and g["2D"]["recall"] == 0.5
+    assert g["2D"]["accuracy"] == 1.0
+    # 1D group: EAN tp=1 typed QR (wrong class AND wrong group), fp=1
+    assert g["1D"]["accuracy"] == 0.0 and g["1D"]["group_accuracy"] == 0.0
+    assert "postal" not in g
+
+
+@pytest.mark.slow
+def test_native_resolution_evaluation():
+    """--eval-native: per-image grid_size buckets, GT scaled identically;
+    metrics consistent with resized mode on uniform synthetic data."""
+    import jax
+
+    from ubdvss_tpu import NetConfig
+    from ubdvss_tpu.data import DataConfig
+    from ubdvss_tpu.evaluate import run_evaluation
+    from ubdvss_tpu.models.model import init_params
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+
+    cfg = NetConfig(max_components=8, min_component_area=4, max_image_side=64)
+    params = init_params(cfg, 0)
+    # two distinct source sizes -> two shape buckets in native mode
+    r64 = SyntheticMarkupReader(n_samples=3, image_hw=(64, 64), seed=2)
+    r48 = SyntheticMarkupReader(n_samples=3, image_hw=(48, 64), seed=3)
+
+    class Both:
+        def samples(self):
+            return r64.samples() + r48.samples()
+
+    dc = DataConfig(batch_size=2, train_hw=(64, 64))
+    res = run_evaluation(params, Both(), cfg, dc, native=True)
+    assert res.n_images == 6
+    assert res.n_gt >= 6  # every synthetic image carries objects
+    # max_image_side honored: a 128px image lands in the 64px bucket
+    assert cfg.grid_size(128, 128) == (64, 64)

@@ -1,6 +1,7 @@
 """detect() end-to-end API smoke + pipeline-composition tests."""
 
 import numpy as np
+import pytest
 
 from ubdvss_tpu import NetConfig, init_params
 from ubdvss_tpu.inference import BarcodeDetector, detect_program, detect_program_batch
@@ -41,6 +42,7 @@ def test_detect_full_frame_component():
     assert hm.shape == (16, 16) and np.all(hm > 0.99)
 
 
+@pytest.mark.slow
 def test_detect_resized_input():
     cfg = NetConfig(max_components=4, min_component_area=1, max_image_side=64)
     params = _forced_blob_params(cfg)
@@ -53,6 +55,7 @@ def test_detect_resized_input():
     assert out[0].box[:, 1].max() > 100
 
 
+@pytest.mark.slow
 def test_batch_program_matches_single():
     cfg = NetConfig(max_components=4, min_component_area=1)
     params = _forced_blob_params(cfg)

@@ -36,6 +36,7 @@ def test_synthetic_overfit_reaches_f1_1():
     assert res.class_accuracy == 1.0, res.to_json()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_bitexact(tmp_path):
     cfg = NetConfig()
     reader = SyntheticMarkupReader(n_samples=4, image_hw=(64, 64), seed=2)
@@ -76,6 +77,7 @@ def test_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_and_evaluate_cli(tmp_path):
     """The reference-mirroring CLI surfaces run end-to-end (SURVEY.md §5)."""
     from ubdvss_tpu import evaluate as evaluate_mod

@@ -40,6 +40,7 @@ def test_kernel_labels_match_xla(connectivity):
     np.testing.assert_array_equal(np.asarray(lab_p), np.asarray(lab_x))
 
 
+@pytest.mark.slow
 def test_kernel_adversarial_masks():
     # spiral-ish snake + checkerboard via logit patterns
     H = W = 32
@@ -70,6 +71,7 @@ def test_roots_ordering_matches_compaction():
         assert np.all(~valid[b][len(v) :])
 
 
+@pytest.mark.slow
 def test_fused_postprocess_matches_reference_path():
     cfg = NetConfig(
         class_names=("a", "b", "c", "d"), max_components=8, min_component_area=3

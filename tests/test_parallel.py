@@ -48,6 +48,7 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_cli_matches_single_device():
     """`train --num-devices 8` (first-class trainer DP) must produce the
     same final loss as the single-device CLI run."""
@@ -72,6 +73,7 @@ def test_dp_cli_matches_single_device():
     ) < 1e-5
 
 
+@pytest.mark.slow
 def test_distributed_flag_plumbing():
     """--distributed wiring: jax.distributed.initialize() before mesh
     construction, single-process guard (SURVEY.md §2c; real multi-host DCN
@@ -145,15 +147,18 @@ def test_distributed_ccl_matches_single(n_dev, connectivity):
     mesh = _cpu_mesh(n_dev, "spatial")
     for mask in cases:
         ref, _ = connected_components(jnp.asarray(mask), connectivity=connectivity)
-        got = distributed_connected_components(
+        got, converged = distributed_connected_components(
             jnp.asarray(mask), mesh, connectivity=connectivity
         )
+        assert bool(converged)
         # identical labels, not just same partition: both use the
         # raster-order-of-root compaction rule
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize(
+    "n_dev", [pytest.param(2, marks=pytest.mark.slow), 4]
+)
 def test_tiled_logits_match_whole_image(n_dev):
     """Halo-exchanged tiled FCN heatmap == whole-image heatmap (<=1e-4)."""
     cfg = NetConfig(dilations=(1, 2, 4), max_components=16)
@@ -165,11 +170,13 @@ def test_tiled_logits_match_whole_image(n_dev):
     mesh = _cpu_mesh(n_dev, "spatial")
     assert receptive_field_halo(cfg) <= H // n_dev
     res = tiled_detect(params, jnp.asarray(img), cfg, mesh)
+    assert bool(res["ccl_converged"])
     np.testing.assert_allclose(
         np.asarray(res["logits"]), np.asarray(ref_logits), atol=1e-4
     )
 
 
+@pytest.mark.slow
 def test_trained_tiled_detection_seam_exact():
     """Train briefly, then tiled and whole-image detections must agree
     box-for-box (SURVEY.md §7 hard part 5)."""

@@ -88,6 +88,7 @@ def test_postprocess_matches_oracle(seed):
         assert int(res["areas"][i]) == o["area"]
 
 
+@pytest.mark.slow
 def test_min_area_filter_and_batch():
     cfg = NetConfig(max_components=8, min_component_area=50)
     logits = _blob_logits(cfg, 5, H=48, W=48)
@@ -111,6 +112,7 @@ def test_detection_only():
     assert int(res["num_detections"]) >= 1
 
 
+@pytest.mark.slow
 def test_symmetric_tiebreak_fuzz():
     """Mirror-symmetric blobs tie on area; corners must still match cv2."""
     cfg = NetConfig(max_components=4, min_component_area=1, classification=False)
@@ -131,3 +133,30 @@ def test_symmetric_tiebreak_fuzz():
         assert len(ours_idx) == len(oracle)
         for i, o in zip(ours_idx, oracle):
             _check_box({"boxes": res["boxes"][i], "size": res["size"][i]}, o, cfg)
+
+
+@pytest.mark.slow
+def test_component_overflow_reported():
+    """>max_components blobs: slots are cut to K but num_components_total
+    reports the true count (VERDICT r1 #7 — no silent truncation)."""
+    cfg = NetConfig(max_components=4, min_component_area=1, classification=False)
+    H = W = 40
+    logits = np.full((H, W, 1), -6.0, np.float32)
+    # 9 isolated 3x3 blobs on a grid
+    for cy in (2, 15, 28):
+        for cx in (2, 15, 28):
+            logits[cy : cy + 3, cx : cx + 3, 0] = 6.0
+    res = postprocess(logits, cfg)
+    assert int(res["num_components_total"]) == 9
+    assert int(res["num_detections"]) == 4  # K slots kept
+    # fused path agrees (interpreter mode on CPU)
+    from ubdvss_tpu.ops.postproc import postprocess_batch_fused
+
+    fres = postprocess_batch_fused(logits[None], cfg, interpret=True)
+    assert int(fres["num_components_total"][0]) == 9
+    assert int(fres["num_detections"][0]) == 4
+    # no overflow: totals agree with detections
+    cfg_big = NetConfig(max_components=16, min_component_area=1, classification=False)
+    res2 = postprocess(logits, cfg_big)
+    assert int(res2["num_components_total"]) == 9
+    assert int(res2["num_detections"]) == 9

@@ -28,6 +28,7 @@ def _pad(pts, n_slots):
 from helpers import assert_rect_parity as _assert_rect_matches  # noqa: E402
 
 
+@pytest.mark.slow
 def test_hull_random_points():
     rng = np.random.default_rng(0)
     for trial in range(10):
@@ -75,6 +76,7 @@ def test_hull_degenerate():
     assert m == 2 and {tuple(p) for p in hull[:m]} == {(0, 0), (5, 5)}
 
 
+@pytest.mark.slow
 def test_min_area_rect_vs_cv2_random():
     rng = np.random.default_rng(1)
     for trial in range(15):
@@ -98,6 +100,7 @@ def test_min_area_rect_axis_aligned():
     np.testing.assert_allclose(np.asarray(res["center"]), [20, 22.5], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_min_area_rect_rotated_invariance():
     """Rect of 90°-rotated points == rotated rect (SURVEY.md §4.3 property)."""
     rng = np.random.default_rng(2)
@@ -112,6 +115,7 @@ def test_min_area_rect_rotated_invariance():
     assert abs(a0 - a1) < 1e-2
 
 
+@pytest.mark.slow
 def test_mask_stack_rects_vs_cv2():
     """Blob masks → rects must match cv2.minAreaRect over the pixel coords."""
     rng = np.random.default_rng(3)
@@ -136,6 +140,7 @@ def test_mask_stack_rects_vs_cv2():
     assert not bool(np.asarray(res["valid"])[3])
 
 
+@pytest.mark.slow
 def test_scan_path_vs_serial_reference_fuzz():
     """Production scan-based rect path vs the serial monotone-chain reference
     and cv2, on random multi-blob masks."""

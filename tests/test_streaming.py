@@ -1,6 +1,7 @@
 """Streaming pipeline tests (BASELINE config 5)."""
 
 import numpy as np
+import pytest
 
 from ubdvss_tpu import NetConfig
 from ubdvss_tpu.inference import detect_program
@@ -8,6 +9,7 @@ from ubdvss_tpu.streaming import StreamingDetector
 from tests_common_params import forced_blob_params
 
 
+@pytest.mark.slow
 def test_streaming_matches_single_frame():
     cfg = NetConfig(max_components=4, min_component_area=1)
     params = forced_blob_params(cfg)

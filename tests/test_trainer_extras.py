@@ -42,6 +42,7 @@ def _tiny_batch(cfg):
     return next(iter(Batches(reader, cfg, dc, train=True).epoch(0)))
 
 
+@pytest.mark.slow
 def test_checked_train_step_clean_and_poisoned():
     cfg = NetConfig()
     batch = _tiny_batch(cfg)
@@ -56,6 +57,7 @@ def test_checked_train_step_clean_and_poisoned():
         err.throw()
 
 
+@pytest.mark.slow
 def test_best_checkpoint_and_image_summary(tmp_path):
     cfg = NetConfig()
     reader = SyntheticMarkupReader(n_samples=4, image_hw=(32, 32), seed=1)

@@ -64,6 +64,17 @@ def pad_polygons(
     sample: Sample, net_cfg: NetConfig, max_polys: int, max_verts: int
 ):
     """(P, V, 2) f32 polys (input coords), (P,) counts, (P,) 1+class ids."""
+    if len(sample.objects) > max_polys:
+        # silent GT truncation corrupts both training targets and eval
+        # FN counts (ADVICE r1) — surface it; raise DataConfig.max_polys
+        import warnings
+
+        warnings.warn(
+            f"sample has {len(sample.objects)} objects but max_polys="
+            f"{max_polys}; excess ground truth is DROPPED — raise "
+            "DataConfig.max_polys",
+            stacklevel=2,
+        )
     polys = np.zeros((max_polys, max_verts, 2), np.float32)
     n_verts = np.zeros(max_polys, np.int32)
     class_ids = np.zeros(max_polys, np.int32)

@@ -5,7 +5,17 @@ run the model over a markup'd dataset, extract rectangles, greedily match
 predictions to ground truth at IoU ≥ 0.5 (predictions in descending score
 order, each GT matched at most once), and report object-level
 precision/recall/F1 plus barcode-type classification accuracy over the
-matched detections, as a structured JSON report.
+matched detections — aggregate, per-class and per-group (paper §4 reports
+per-type accuracy; groups from net_config.CLASS_GROUPS) — as a structured
+JSON report.
+
+Two resolution modes (SURVEY.md §3.2):
+  * resized (default): every image is brought to one common ``train_hw``
+    like the training pipeline; GT polygons are transformed identically.
+  * native (``--eval-native``): each image is evaluated at its own
+    ``cfg.grid_size(h, w)`` — the reference's per-image max-side-capped
+    semantics (``NetConfig.max_image_side``); batches are bucketed by
+    grid shape so every XLA program stays static.
 
 The device does batched preproc→FCN→postproc in one program per batch
 (SURVEY.md §3.2's host-postprocessing stall removed); only the tiny
@@ -19,12 +29,13 @@ import dataclasses
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from ubdvss_tpu.data import Batches, DataConfig
-from ubdvss_tpu.inference import detect_program_batch
-from ubdvss_tpu.markup import get_markup_reader
-from ubdvss_tpu.net_config import NetConfig
+from ubdvss_tpu.data import Batches, DataConfig, _to_train_shape, load_image, pad_polygons
+from ubdvss_tpu.inference import detect_preprocessed_batch
+from ubdvss_tpu.net_config import CLASS_GROUPS, NetConfig
+from ubdvss_tpu.ops.preproc import normalize
 from ubdvss_tpu.utils.geometry import iou as polygon_iou
 
 
@@ -40,23 +51,34 @@ class EvalResult:
     tp: int
     fp: int
     fn: int
+    # per-type and per-group detection/classification metrics (paper §4);
+    # None when class names were not supplied (detection-only mode)
+    per_class: dict | None = None
+    per_group: dict | None = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
 
-def match_image(
+def match_image_detailed(
     pred_boxes: np.ndarray,
     pred_scores: np.ndarray,
     pred_classes: np.ndarray,
     gt_polys: list[np.ndarray],
     gt_classes: list[int],
     iou_threshold: float = 0.5,
-):
-    """Greedy matching for one image; returns (tp, fp, fn, cls_hits, n_matched)."""
+) -> dict:
+    """Greedy matching for one image, keeping class identities.
+
+    Returns dict:
+      matches: list of (pred_class, gt_class) over matched pairs;
+      fp_classes: predicted classes of unmatched predictions;
+      fn_classes: GT classes of unmatched ground truths.
+    """
     order = np.argsort(-pred_scores)
     matched_gt: set[int] = set()
-    tp = fp = cls_hits = 0
+    matches: list[tuple[int, int]] = []
+    fp_classes: list[int] = []
     for i in order:
         best_j, best_iou = -1, iou_threshold
         for j, g in enumerate(gt_polys):
@@ -67,20 +89,62 @@ def match_image(
                 best_iou, best_j = v, j
         if best_j >= 0:
             matched_gt.add(best_j)
-            tp += 1
-            if int(pred_classes[i]) == int(gt_classes[best_j]):
-                cls_hits += 1
+            matches.append((int(pred_classes[i]), int(gt_classes[best_j])))
         else:
-            fp += 1
-    fn = len(gt_polys) - len(matched_gt)
-    return tp, fp, fn, cls_hits
+            fp_classes.append(int(pred_classes[i]))
+    fn_classes = [int(c) for j, c in enumerate(gt_classes) if j not in matched_gt]
+    return {"matches": matches, "fp_classes": fp_classes, "fn_classes": fn_classes}
 
 
-def evaluate_detections(per_image: list[dict], iou_threshold: float = 0.5) -> EvalResult:
-    """per_image entries: pred_boxes/scores/classes + gt_polys/gt_classes."""
+def match_image(
+    pred_boxes: np.ndarray,
+    pred_scores: np.ndarray,
+    pred_classes: np.ndarray,
+    gt_polys: list[np.ndarray],
+    gt_classes: list[int],
+    iou_threshold: float = 0.5,
+):
+    """Greedy matching for one image; returns (tp, fp, fn, cls_hits)."""
+    d = match_image_detailed(
+        pred_boxes, pred_scores, pred_classes, gt_polys, gt_classes, iou_threshold
+    )
+    tp = len(d["matches"])
+    hits = sum(1 for pc, gc in d["matches"] if pc == gc)
+    return tp, len(d["fp_classes"]), len(d["fn_classes"]), hits
+
+
+def _prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    return p, r, 2 * p * r / max(p + r, 1e-12)
+
+
+def evaluate_detections(
+    per_image: list[dict],
+    iou_threshold: float = 0.5,
+    class_names: tuple[str, ...] | None = None,
+    class_groups: dict[str, tuple[str, ...]] | None = None,
+) -> EvalResult:
+    """per_image entries: pred_boxes/scores/classes + gt_polys/gt_classes.
+
+    With ``class_names``, also reports per-class detection P/R/F1 and type
+    accuracy, plus per-group aggregates over ``class_groups`` (defaults to
+    net_config.CLASS_GROUPS: 1D / 2D / postal).
+    """
     TP = FP = FN = HITS = NGT = NPRED = 0
+    names = list(class_names) if class_names else []
+    cc = {n: dict(tp=0, fp=0, fn=0, hits=0, group_hits=0) for n in names}
+    if class_groups is None:
+        class_groups = CLASS_GROUPS
+    group_of = {
+        n: g for g, members in class_groups.items() for n in members if n in cc
+    }
+
+    def _name(idx: int) -> str | None:
+        return names[idx] if 0 <= idx < len(names) else None
+
     for rec in per_image:
-        tp, fp, fn, hits = match_image(
+        d = match_image_detailed(
             rec["pred_boxes"],
             rec["pred_scores"],
             rec["pred_classes"],
@@ -88,15 +152,68 @@ def evaluate_detections(per_image: list[dict], iou_threshold: float = 0.5) -> Ev
             rec["gt_classes"],
             iou_threshold,
         )
-        TP += tp
-        FP += fp
-        FN += fn
-        HITS += hits
+        TP += len(d["matches"])
+        FP += len(d["fp_classes"])
+        FN += len(d["fn_classes"])
+        HITS += sum(1 for pc, gc in d["matches"] if pc == gc)
         NGT += len(rec["gt_polys"])
         NPRED += len(rec["pred_boxes"])
-    precision = TP / max(TP + FP, 1)
-    recall = TP / max(TP + FN, 1)
-    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+        if names:
+            for pc, gc in d["matches"]:
+                gn, pn = _name(gc), _name(pc)
+                if gn is None:
+                    continue
+                cc[gn]["tp"] += 1
+                cc[gn]["hits"] += int(pc == gc)
+                if pn is not None and group_of.get(pn) == group_of.get(gn):
+                    cc[gn]["group_hits"] += 1
+            for pc in d["fp_classes"]:
+                pn = _name(pc)
+                if pn is not None:
+                    cc[pn]["fp"] += 1
+            for gc in d["fn_classes"]:
+                gn = _name(gc)
+                if gn is not None:
+                    cc[gn]["fn"] += 1
+
+    per_class = per_group = None
+    if names:
+        per_class = {}
+        for n in names:
+            c = cc[n]
+            if c["tp"] + c["fp"] + c["fn"] == 0:
+                continue  # class absent from both GT and predictions
+            p, r, f1 = _prf(c["tp"], c["fp"], c["fn"])
+            per_class[n] = dict(
+                precision=p,
+                recall=r,
+                f1=f1,
+                accuracy=c["hits"] / max(c["tp"], 1),
+                n_gt=c["tp"] + c["fn"],
+                tp=c["tp"],
+                fp=c["fp"],
+                fn=c["fn"],
+            )
+        per_group = {}
+        for g, members in class_groups.items():
+            tp = sum(cc[n]["tp"] for n in members if n in cc)
+            fp = sum(cc[n]["fp"] for n in members if n in cc)
+            fn = sum(cc[n]["fn"] for n in members if n in cc)
+            if tp + fp + fn == 0:
+                continue
+            hits = sum(cc[n]["hits"] for n in members if n in cc)
+            ghits = sum(cc[n]["group_hits"] for n in members if n in cc)
+            p, r, f1 = _prf(tp, fp, fn)
+            per_group[g] = dict(
+                precision=p,
+                recall=r,
+                f1=f1,
+                accuracy=hits / max(tp, 1),  # exact-type accuracy
+                group_accuracy=ghits / max(tp, 1),  # predicted type in group
+                n_gt=tp + fn,
+            )
+
+    precision, recall, f1 = _prf(TP, FP, FN)
     return EvalResult(
         precision=precision,
         recall=recall,
@@ -108,7 +225,37 @@ def evaluate_detections(per_image: list[dict], iou_threshold: float = 0.5) -> Ev
         tp=TP,
         fp=FP,
         fn=FN,
+        per_class=per_class,
+        per_group=per_group,
     )
+
+
+def _gt_lists(polys: np.ndarray, n_verts: np.ndarray, class_ids: np.ndarray):
+    gt_polys = [polys[p, : n_verts[p]] for p in range(polys.shape[0]) if n_verts[p] >= 3]
+    gt_classes = [
+        int(class_ids[p]) - 1 for p in range(polys.shape[0]) if n_verts[p] >= 3
+    ]
+    return gt_polys, gt_classes
+
+
+def _collect_batch(per_image: list[dict], res: dict, polys, n_verts, class_ids):
+    """Device outputs + padded GT tensors -> per-image match records."""
+    res = jax.device_get(res)
+    polys = np.asarray(polys)
+    n_verts = np.asarray(n_verts)
+    class_ids = np.asarray(class_ids)
+    for b in range(polys.shape[0]):
+        valid = res["valid"][b]
+        gt_polys, gt_classes = _gt_lists(polys[b], n_verts[b], class_ids[b])
+        per_image.append(
+            dict(
+                pred_boxes=res["boxes"][b][valid],
+                pred_scores=res["scores"][b][valid],
+                pred_classes=res["classes"][b][valid],
+                gt_polys=gt_polys,
+                gt_classes=gt_classes,
+            )
+        )
 
 
 def run_evaluation(
@@ -117,47 +264,54 @@ def run_evaluation(
     cfg: NetConfig,
     data_cfg: DataConfig | None = None,
     iou_threshold: float = 0.5,
+    native: bool = False,
 ) -> EvalResult:
     """Batched device inference over a markup dataset -> EvalResult.
 
-    Images are brought to data_cfg.train_hw like the training/eval pipeline
-    (GT polygons are transformed identically, so matching is consistent).
+    ``native=False``: images come through the shared input pipeline at
+    ``data_cfg.train_hw`` (GT transformed identically) and the normalized
+    batches feed the model directly — no second resize (VERDICT r1 weak #5).
+    ``native=True``: per-image ``cfg.grid_size(h, w)`` resolution
+    (max_image_side semantics), shape-bucketed batches.
     """
-    dc = data_cfg or DataConfig(batch_size=8, shuffle=False, augment=None,
-                                drop_remainder=False)
+    dc = data_cfg or DataConfig(batch_size=8, max_polys=32)
     dc = dataclasses.replace(dc, shuffle=False, augment=None, drop_remainder=False)
-    batches = Batches(reader, cfg, dc, train=False)
-    per_image = []
-    for batch in batches.epoch(0):
-        imgs = batch["images"][..., 0] * 127.5 + 127.5  # undo normalize: raw domain
-        res, _ = detect_program_batch(params, imgs, cfg, dc.train_hw)
-        res = jax.device_get(res)
-        polys = np.asarray(batch["polys"])
-        n_verts = np.asarray(batch["n_verts"])
-        class_ids = np.asarray(batch["class_ids"])
-        B = polys.shape[0]
-        for b in range(B):
-            valid = res["valid"][b]
-            gt_polys = [
-                polys[b, p, : n_verts[b, p]]
-                for p in range(polys.shape[1])
-                if n_verts[b, p] >= 3
-            ]
-            gt_classes = [
-                int(class_ids[b, p]) - 1
-                for p in range(polys.shape[1])
-                if n_verts[b, p] >= 3
-            ]
-            per_image.append(
-                dict(
-                    pred_boxes=res["boxes"][b][valid],
-                    pred_scores=res["scores"][b][valid],
-                    pred_classes=res["classes"][b][valid],
-                    gt_polys=gt_polys,
-                    gt_classes=gt_classes,
-                )
+    class_names = cfg.class_names if cfg.classification else None
+    per_image: list[dict] = []
+
+    if native:
+        buckets: dict[tuple[int, int], list] = {}
+
+        def flush(grid, items):
+            xs = jnp.stack([it[0] for it in items])  # (b, H, W) f32 [0,255]
+            res, _ = detect_preprocessed_batch(params, normalize(xs)[..., None], cfg)
+            _collect_batch(
+                per_image,
+                res,
+                np.stack([np.asarray(it[1]) for it in items]),
+                np.stack([it[2] for it in items]),
+                np.stack([it[3] for it in items]),
             )
-    return evaluate_detections(per_image, iou_threshold)
+
+        for s in reader.samples():
+            img = load_image(s)
+            grid = cfg.grid_size(img.shape[0], img.shape[1])
+            p, nv, ci = pad_polygons(s, cfg, dc.max_polys, dc.max_verts)
+            x, p = _to_train_shape(jnp.asarray(img), jnp.asarray(p), grid)
+            buckets.setdefault(grid, []).append((x, p, nv, ci))
+            if len(buckets[grid]) == dc.batch_size:
+                flush(grid, buckets.pop(grid))
+        for grid, items in buckets.items():
+            flush(grid, items)
+    else:
+        batches = Batches(reader, cfg, dc, train=False)
+        for batch in batches.epoch(0):
+            # the pipeline's normalized images feed the model directly
+            res, _ = detect_preprocessed_batch(params, batch["images"], cfg)
+            _collect_batch(
+                per_image, res, batch["polys"], batch["n_verts"], batch["class_ids"]
+            )
+    return evaluate_detections(per_image, iou_threshold, class_names=class_names)
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -168,8 +322,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="logdir with checkpoints/ or a params .npz")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--image-size", type=int, nargs=2, default=(256, 256))
+    p.add_argument("--eval-native", action="store_true",
+                   help="evaluate each image at its own grid_size(h, w) "
+                        "(max_image_side semantics) instead of --image-size")
     p.add_argument("--iou-threshold", type=float, default=0.5)
     p.add_argument("--detection-only", action="store_true")
+    p.add_argument("--max-polys", type=int, default=32,
+                   help="GT objects bound per image")
     p.add_argument("--report", default=None, help="write JSON report here")
     p.add_argument("--synthetic-samples", type=int, default=64)
     return p
@@ -178,6 +337,7 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> EvalResult:
     args = build_argparser().parse_args(argv)
     cfg = NetConfig(classification=not args.detection_only)
+    from ubdvss_tpu.markup import get_markup_reader
     from ubdvss_tpu.models.model import init_params
     from ubdvss_tpu.utils.checkpoint import CheckpointManager, load_params_npz
 
@@ -197,8 +357,14 @@ def main(argv: list[str] | None = None) -> EvalResult:
         else {}
     )
     reader = get_markup_reader(fmt, args.data, **kw)
-    dc = DataConfig(batch_size=args.batch_size, train_hw=tuple(args.image_size))
-    result = run_evaluation(params, reader, cfg, dc, args.iou_threshold)
+    dc = DataConfig(
+        batch_size=args.batch_size,
+        train_hw=tuple(args.image_size),
+        max_polys=args.max_polys,
+    )
+    result = run_evaluation(
+        params, reader, cfg, dc, args.iou_threshold, native=args.eval_native
+    )
     print(result.to_json())
     if args.report:
         with open(args.report, "w") as f:

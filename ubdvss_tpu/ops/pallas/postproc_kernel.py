@@ -44,6 +44,7 @@ def _geometry_kernel(
     slot_ref,
     minx_ref,
     maxx_ref,
+    nroots_ref,
     roots_smem,
     *,
     thr_logit,
@@ -85,6 +86,9 @@ def _geometry_kernel(
     # loop carries / SMEM and are written once — Mosaic cannot prove
     # alignment of dynamic lane-offset vector stores. ---
     cand0 = jnp.where(mask & (lab == rows * W + cols), lab, sentinel)
+    # true component count BEFORE the top-K cut (overflow indicator for the
+    # caller: num_components_total > K means slots were dropped)
+    nroots_ref[0, 0, 0] = jnp.sum(jnp.where(cand0 != sentinel, 1, 0))
 
     def root_body(k, cand):
         r = jnp.min(cand)
@@ -159,7 +163,7 @@ def component_slots_from_logits(
         max_iters=max_iters,
         K=K,
     )
-    rootvals, slots, minx, maxx = pl.pallas_call(
+    rootvals, slots, minx, maxx, nroots = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -170,12 +174,16 @@ def component_slots_from_logits(
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # (1,1,1) block: last two dims equal the array's so Mosaic's
+            # (8,128)-divisibility rule is satisfied for any batch size
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
             jax.ShapeDtypeStruct((B, H, W), jnp.int32),
             jax.ShapeDtypeStruct((B, K, H), jnp.int32),
             jax.ShapeDtypeStruct((B, K, H), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
@@ -188,6 +196,7 @@ def component_slots_from_logits(
         "slots": slots,
         "minx": minx,
         "maxx": maxx,
+        "num_components_total": nroots[:, 0, 0],
     }
 
 
@@ -239,4 +248,5 @@ def component_stats_from_logits(
         "minx": geo["minx"],
         "maxx": geo["maxx"],
         "labels": geo["slots"],
+        "num_components_total": geo["num_components_total"],
     }

@@ -54,8 +54,19 @@ def eq_from_raw_labels(raw_lab: jax.Array, rootvals: jax.Array, root_valid: jax.
     return eq & root_valid[..., None, None, :]
 
 
-def finish_from_eq(logits: jax.Array, eq: jax.Array, cfg: NetConfig) -> dict:
-    """Tail of the pipeline given per-component masks eq (Ho, Wo, K)."""
+def finish_from_eq(
+    logits: jax.Array,
+    eq: jax.Array,
+    cfg: NetConfig,
+    num_components_total: jax.Array | None = None,
+) -> dict:
+    """Tail of the pipeline given per-component masks eq (Ho, Wo, K).
+
+    ``num_components_total`` is the true component count BEFORE the
+    cfg.max_components top-K cut (overflow indicator — VERDICT r1 #7:
+    silently missing boxes violate the "boxes come off the chip" contract);
+    when None it falls back to the number of occupied slots.
+    """
     det_prob = jax.nn.sigmoid(logits[..., 0])
     K = cfg.max_components
     eqf = eq.astype(jnp.float32)
@@ -77,7 +88,10 @@ def finish_from_eq(logits: jax.Array, eq: jax.Array, cfg: NetConfig) -> dict:
 
     rects = min_area_rect_from_mask_stack(eq)
     s = jnp.float32(cfg.scale)
+    if num_components_total is None:
+        num_components_total = jnp.sum(areas > 0).astype(jnp.int32)
     return {
+        "num_components_total": num_components_total,
         "boxes": rects["points"] * s,
         "center": rects["center"] * s,
         "size": rects["size"] * s,
@@ -98,7 +112,11 @@ def finish_postprocess(logits: jax.Array, labels: jax.Array, cfg: NetConfig) -> 
     """
     K = cfg.max_components
     eq = labels[..., None] == jnp.arange(1, K + 1, dtype=jnp.int32)
-    return finish_from_eq(logits, eq, cfg)
+    # compact labels are 1..N raster-ordered, so max IS the true total —
+    # components beyond slot K are reported even though their boxes are cut
+    return finish_from_eq(
+        logits, eq, cfg, num_components_total=jnp.max(labels).astype(jnp.int32)
+    )
 
 
 @functools.partial(
@@ -190,6 +208,7 @@ def postprocess_batch_fused(
         "areas": areas,
         "valid": final_valid,
         "num_detections": jnp.sum(final_valid, axis=-1).astype(jnp.int32),
+        "num_components_total": stats["num_components_total"],
     }
 
 

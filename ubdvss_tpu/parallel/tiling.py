@@ -56,10 +56,20 @@ def receptive_field_halo(cfg: NetConfig) -> int:
 
 def _seam_merge_ccl(lab, mask, axis, n, sentinel, connectivity, base, To, Wo):
     """Distributed CCL core: local fixpoint + seam exchange until global
-    convergence (labels are global linear indices). Runs inside shard_map."""
+    convergence (labels are global linear indices). Runs inside shard_map.
+
+    Returns ``(lab, converged)``; converged is a replicated bool — True iff
+    the loop exited because a full seam round changed nothing everywhere
+    (psum'd flag), rather than hitting the iteration cap.  The cap covers
+    the worst case (a component snaking through every seam needs O(n)
+    rounds per traversal, O(To·n) total), so an unconverged exit should
+    never happen; surfacing the flag makes the module's "bit-identical"
+    contract checkable instead of silent (VERDICT r1 #9).
+    """
     idx = lax.axis_index(axis)
     fwd = [(i, i + 1) for i in range(n - 1)]
     bwd = [(i + 1, i) for i in range(n - 1)]
+    max_rounds = To * n + 4 * n + 8
 
     def seam_round(state):
         lab, _, it = state
@@ -87,16 +97,21 @@ def _seam_merge_ccl(lab, mask, axis, n, sentinel, connectivity, base, To, Wo):
             lab[-1], jnp.where(bot_valid, seam_min(bot_nb, mask[-1]), sentinel)
         )
         changed = jnp.any(new_top != lab[0]) | jnp.any(new_bot != lab[-1])
-        lab = lab.at[0].set(new_top).at[To - 1].set(new_bot)
+        if To == 1:
+            # single heatmap row per tile: row 0 IS row To-1 — merge both
+            # seam updates instead of letting the bottom write clobber the top
+            lab = lab.at[0].set(jnp.minimum(new_top, new_bot))
+        else:
+            lab = lab.at[0].set(new_top).at[To - 1].set(new_bot)
         changed_global = lax.psum(changed.astype(jnp.int32), axis) > 0
         return lab, changed_global, it + 1
 
-    lab, _, _ = lax.while_loop(
-        lambda s: s[1] & (s[2] < 4 * n + 8),
+    lab, still_changing, _ = lax.while_loop(
+        lambda s: s[1] & (s[2] < max_rounds),
         seam_round,
         (lab, jnp.array(True), jnp.array(0)),
     )
-    return lab
+    return lab, ~still_changing
 
 
 def _compact_global_labels(lab_full, sentinel, Ho, Wo):
@@ -130,19 +145,19 @@ def distributed_connected_components(
         base = (idx * To * Wo).astype(jnp.int32)
         lin = base + jnp.arange(To * Wo, dtype=jnp.int32).reshape(To, Wo)
         lab = jnp.where(m, lin, sentinel)
-        lab = _seam_merge_ccl(
+        lab, converged = _seam_merge_ccl(
             lab, m, axis, n, sentinel, connectivity, base, To, Wo
         )
-        return lax.all_gather(lab, axis, axis=0, tiled=True)
+        return lax.all_gather(lab, axis, axis=0, tiled=True), converged
 
-    lab_full = shard_map(
+    lab_full, converged = shard_map(
         per_tile,
         mesh=mesh,
         in_specs=P(axis),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False,
     )(mask)
-    return _compact_global_labels(lab_full, sentinel, Ho, Wo)
+    return _compact_global_labels(lab_full, sentinel, Ho, Wo), converged
 
 
 def _local_ccl_to_fixpoint(lab, mask, sentinel, connectivity, max_iters):
@@ -185,9 +200,22 @@ def tiled_detect(
     W = image.shape[1]
     assert H % (n * cfg.scale) == 0, (H, n, cfg.scale)
     T = H // n  # rows per tile
+    rf_halo = receptive_field_halo(cfg)
     if halo is None:
-        halo = receptive_field_halo(cfg)
+        halo = rf_halo
     halo = min(halo, T - (T % cfg.scale) if T % cfg.scale else T)
+    if halo < rf_halo:
+        # seam exactness holds only when the exchanged halo covers the full
+        # receptive field; a thin tile (T < rf_halo) clamps it (ADVICE r1)
+        import warnings
+
+        warnings.warn(
+            f"tiled_detect: halo clamped to {halo} rows (< receptive field "
+            f"{rf_halo}) because tiles are only {T} rows tall — logits near "
+            "tile seams may differ from whole-image inference; use fewer "
+            "devices along the spatial axis or taller images for exactness",
+            stacklevel=2,
+        )
     assert halo % cfg.scale == 0 and halo <= T, (halo, T)
     Ho, Wo = H // cfg.scale, W // cfg.scale
     To = T // cfg.scale
@@ -227,21 +255,21 @@ def tiled_detect(
         base = (idx * To * Wo).astype(jnp.int32)
         lin = base + jnp.arange(To * Wo, dtype=jnp.int32).reshape(To, Wo)
         lab = jnp.where(mask, lin, sentinel)
-        lab = _seam_merge_ccl(
+        lab, converged = _seam_merge_ccl(
             lab, mask, axis, n, sentinel, connectivity, base, To, Wo
         )
 
         # --- 4. gather (replicated) ---
         lab_full = lax.all_gather(lab, axis, axis=0, tiled=True)  # (Ho, Wo)
         logits_full = lax.all_gather(logits, axis, axis=0, tiled=True)
-        return lab_full, logits_full
+        return lab_full, logits_full, converged
 
     in_spec = P(axis) if image.ndim == 2 else P(axis, None, None)
-    lab_full, logits_full = shard_map(
+    lab_full, logits_full, ccl_converged = shard_map(
         per_tile,
         mesh=mesh,
         in_specs=(P(), in_spec),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )(params, image)
 
@@ -256,6 +284,9 @@ def tiled_detect(
 
     rootvals, root_valid = roots_from_raw_labels(lab_full, cfg.max_components)
     eq = eq_from_raw_labels(lab_full, rootvals, root_valid)
-    out = finish_from_eq(logits_full, eq, cfg)
+    idx_full = jnp.arange(Ho * Wo, dtype=jnp.int32).reshape(Ho, Wo)
+    total = jnp.sum((lab_full == idx_full) & (lab_full < sentinel)).astype(jnp.int32)
+    out = finish_from_eq(logits_full, eq, cfg, num_components_total=total)
     out["logits"] = logits_full
+    out["ccl_converged"] = ccl_converged
     return out
