@@ -185,3 +185,48 @@ def test_scan_path_vs_serial_reference_fuzz():
         )
         ref = min_area_rect(hull, m)
         assert abs(float(np.prod(res["size"])) - float(np.prod(np.asarray(ref["size"])))) < 1e-3
+
+
+def test_compact_extremes_matches_exact():
+    """Hull-compacted caliper (large-heatmap path) == exact extremes path
+    for components whose chains fit max_hull_points (all realistic blobs)."""
+    from ubdvss_tpu.ops.rect import (
+        min_area_rect_from_extremes,
+        min_area_rect_from_extremes_compact,
+    )
+
+    rng = np.random.default_rng(1)
+    B, K, H = 3, 8, 256
+    minx = np.zeros((B, K, H), np.int32)
+    maxx = np.full((B, K, H), -1, np.int32)
+    for b in range(B):
+        for k in range(K):
+            kind = rng.integers(0, 4)
+            y0 = int(rng.integers(0, H - 50)); h = int(rng.integers(1, 50))
+            x0 = int(rng.integers(0, H - 80)); w = int(rng.integers(1, 60))
+            yy = np.arange(y0, y0 + h)
+            if kind == 0:  # axis-aligned rect
+                minx[b, k, y0:y0 + h] = x0
+                maxx[b, k, y0:y0 + h] = x0 + w
+            elif kind == 1:  # ellipse
+                cy = y0 + h / 2
+                half = (w / 2) * np.sqrt(
+                    np.clip(1 - ((yy - cy) / (h / 2 + 1e-9)) ** 2, 0, 1))
+                minx[b, k, y0:y0 + h] = (x0 + w / 2 - half).astype(int)
+                maxx[b, k, y0:y0 + h] = (x0 + w / 2 + half).astype(int)
+            elif kind == 2:  # sheared parallelogram
+                minx[b, k, y0:y0 + h] = x0 + (yy - y0)
+                maxx[b, k, y0:y0 + h] = x0 + w + (yy - y0)
+            # kind 3: empty slot
+    import jax
+    import jax.numpy as jnp
+
+    mi, mx = jnp.asarray(minx), jnp.asarray(maxx)
+    rv = mx >= 0
+    a = jax.device_get(min_area_rect_from_extremes(mi, mx, rv))
+    c = jax.device_get(min_area_rect_from_extremes_compact(mi, mx, rv, 64))
+    for key in ("points", "center", "size", "angle_deg", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(a[key], np.float32), np.asarray(c[key], np.float32),
+            atol=1e-4, err_msg=key,
+        )

@@ -79,11 +79,12 @@ def detect_program_batch(
     """
     if fused is None:
         fused = _default_device_is_tpu()
-    # the fused Pallas kernels target per-image heatmaps up to 256x256
-    # (1024px inputs) — the H=512 variants compile but take tens of minutes
-    # in the Mosaic AOT compiler; 2048px scans route through the XLA path
-    # here or, better, through parallel.tiling.tiled_detect (config 4)
-    if max(out_hw) // cfg.scale > 256:
+    # fused path covers heatmaps up to 512x512 (2048px inputs, BASELINE
+    # config 4): the context module auto-selects dense-equivalent MXU convs
+    # past 128x128 feature maps (context_kernel.fused_model_apply) and the
+    # postproc CCL kernel compiles in ~25 s at 512x512.  Beyond that
+    # (>4096px scans) fall back to the XLA path or parallel.tiling.
+    if max(out_hw) // cfg.scale > 512:
         fused = False
     return _detect_program_batch(params, imgs, cfg, out_hw, channel_order, fused)
 
@@ -141,7 +142,7 @@ def detect_preprocessed_batch(
     """
     if fused is None:
         fused = _default_device_is_tpu()
-    if max(x.shape[1], x.shape[2]) // cfg.scale > 256:
+    if max(x.shape[1], x.shape[2]) // cfg.scale > 512:
         fused = False
     return _detect_preprocessed_batch(params, x, cfg, fused)
 

@@ -210,6 +210,43 @@ def context_head_reference(x_nchw, dw, pwt, pb, hwt, hb, dilations):
     return logits + hb[None]
 
 
+def dense_context_head(
+    x_nhwc, dw, pwt, pb, hwt, hb, dilations,
+    precision=lax.Precision.DEFAULT,
+):
+    """Large-image context module: each separable layer collapsed into ONE
+    dense 3x3 dilated MXU conv (kernel[ty,tx,ci,co] = dw[ty,tx,ci]*pw[co,ci]
+    — the rank-1 factorization expanded, so the math is the separable
+    layer's exactly).
+
+    Why it exists: the Pallas kernel's Mosaic compile time grows
+    superlinearly with the VMEM-resident image area (measured on v5e:
+    128x128 ≈ 90 s, 256x256 > 10 min — the round-1 1024px cap), while the
+    dense conv is one HBM pass per layer through XLA's native convolution
+    emitter at any size.  At DEFAULT precision (one bf16 MXU pass, f32
+    accumulation) logits differ from the f32 reference by ~2.5e-3 — far
+    inside detection margins (equivalence locked by
+    tests/test_context_kernel.py::test_dense_path_detections_match);
+    pass HIGHEST for ~1e-7 parity at 3.7x the cost.
+
+    NHWC in / NHWC logits out.
+    """
+    C = pwt.shape[-1]
+    x = x_nhwc.astype(jnp.float32)
+    for li, d in enumerate(dilations):
+        k = dw[li, :, :, 0, 0].reshape(3, 3, C, 1) * pwt[li].T.reshape(1, 1, C, C)
+        y = lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+        )
+        x = jnp.maximum(y + pb[li][:, 0, 0], 0.0)
+    out = lax.conv_general_dilated(
+        x, hwt.T.reshape(1, 1, C, -1), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    return out + hb[:, 0, 0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_context_head(x_nchw, dw, pwt, pb, hwt, hb, dilations, interpret=False):
     """Fused Pallas forward with exact gradients (XLA-differentiated bwd)."""
@@ -246,10 +283,15 @@ def fused_model_apply(
     # stem: two stride-2 SAME convs (XLA).  f32 + HIGHEST hits the <=1e-5
     # oracle-parity bar; cfg.dtype='bfloat16' is the perf mode (~5x faster
     # stem, F1-equivalent — tests/test_context_kernel.py::test_bf16_stem).
+    # Large images (feature maps past the Pallas-kernel size, which route to
+    # dense_context_head below) run the whole program at DEFAULT precision —
+    # one bf16 MXU pass with f32 accumulation (measured 3x on the stem;
+    # detection equivalence locked by test_dense_path_detections_match).
+    large = (x_nhwc.shape[1] // 4) * (x_nhwc.shape[2] // 4) > 128 * 128
     stem_dtype = jnp.dtype(cfg.dtype)
     prec = (
         lax.Precision.DEFAULT
-        if stem_dtype == jnp.bfloat16
+        if (stem_dtype == jnp.bfloat16 or large)
         else lax.Precision.HIGHEST
     )
     x = x_nhwc.astype(stem_dtype)
@@ -265,16 +307,25 @@ def fused_model_apply(
         ) + jnp.asarray(p["bias"], stem_dtype)
         x = jnp.maximum(x, jnp.zeros((), stem_dtype))
     x = x.astype(jnp.float32)
-    xc = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the kernel
     dw, pwt, pb, hwt, hb = _pack_weights(params, tuple(cfg.dilations))
-    # Mosaic's in-kernel (C, H, W) matmul merges H*W onto lanes, which needs
-    # W to be a 128-multiple; smaller heatmaps use the identical XLA math
-    if xc.shape[-1] % 128 == 0 or interpret:
+    Hf, Wf = x.shape[1], x.shape[2]
+    # Path selection (measured on v5e, see dense_context_head docstring):
+    #   * Pallas VMEM-resident kernel — fastest, but Mosaic's in-kernel
+    #     (C, H, W) matmul merges H*W onto lanes (needs 128-multiple W) and
+    #     its compile time explodes past ~128x128 feature maps;
+    #   * dense-equivalent MXU convs — any size, one HBM pass per layer
+    #     (breaks round 1's 1024px fused-path cap: 2048px scans now run a
+    #     fully fused program instead of falling back to slow XLA postproc);
+    #   * identical-math XLA shifts — small unaligned maps.
+    if interpret or (Wf % 128 == 0 and Hf * Wf <= 128 * 128):
+        xc = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the kernel
         logits = fused_context_head(
             xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations), interpret
         )
-    else:
-        logits = context_head_reference(
-            xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations)
-        )
+        return jnp.transpose(logits, (0, 2, 3, 1))  # NHWC
+    if Hf * Wf > 128 * 128:
+        return dense_context_head(x, dw, pwt, pb, hwt, hb, tuple(cfg.dilations))
+    logits = context_head_reference(
+        jnp.transpose(x, (0, 3, 1, 2)), dw, pwt, pb, hwt, hb, tuple(cfg.dilations)
+    )
     return jnp.transpose(logits, (0, 2, 3, 1))  # NHWC

@@ -138,7 +138,7 @@ def postprocess_batch_fused(
     interpreter for CPU use.
     """
     from ubdvss_tpu.ops.pallas.postproc_kernel import component_stats_from_logits
-    from ubdvss_tpu.ops.rect import min_area_rect_from_extremes
+    from ubdvss_tpu.ops.rect import min_area_rect_from_extremes_compact
 
     Ho, Wo = logits.shape[1], logits.shape[2]
     K = cfg.max_components
@@ -172,9 +172,10 @@ def postprocess_batch_fused(
         rects_from_selection,
     )
 
-    # rect fit inside a second VMEM kernel (H <= 128; its unrolled
-    # projection chunks exceed scoped VMEM beyond that — larger heatmaps
-    # use the XLA extremes path, still fed by the kernel's compact stats)
+    # rect fit inside a second VMEM kernel (H <= 128; its Mosaic compile
+    # time explodes beyond that) — larger heatmaps use the hull-compacted
+    # XLA caliper (min_area_rect_from_extremes_compact), still fed by the
+    # geometry kernel's compact stats
     if stats["minx"].shape[-1] <= 128:
         sel = min_area_rect_select(
             stats["minx"], stats["maxx"], interpret=interpret
@@ -182,8 +183,8 @@ def postprocess_batch_fused(
         rects = rects_from_selection(sel)
     else:
         rowany_x = stats["maxx"] >= 0
-        rects = min_area_rect_from_extremes(
-            stats["minx"], stats["maxx"], rowany_x
+        rects = min_area_rect_from_extremes_compact(
+            stats["minx"], stats["maxx"], rowany_x, cfg.max_hull_points
         )
     # padded root slots matched the background in the kernel — zero their
     # rect outputs (matches the reference path's empty-component rects)

@@ -122,6 +122,24 @@ def _convexify_chain(x, alive, sign, max_rounds=None):
     return alive
 
 
+def _compact_chain(x: jax.Array, alive: jax.Array, M: int):
+    """Compact a chain's surviving entries to (..., M) slots, ascending row.
+
+    Gather-light: one ``top_k`` over per-row keys + one small
+    ``take_along_axis``.  Exact whenever the chain has <= M surviving
+    points (guaranteed for convex-ish real components; fractal boundaries
+    could exceed it — see ``min_area_rect_from_extremes_compact``).
+    """
+    H = x.shape[-1]
+    y = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), x.shape)
+    key = jnp.where(alive, H - 1 - y, -1)  # distinct; larger == earlier row
+    vals, idx = lax.top_k(key, M)  # alive rows in ascending y, then invalid
+    ok = vals >= 0
+    cx = jnp.take_along_axis(x, idx, axis=-1)
+    cy = jnp.where(ok, idx, 0)
+    return jnp.where(ok, cx, 0), cy, ok
+
+
 def min_area_rect_from_extremes(
     minx: jax.Array, maxx: jax.Array, rowvalid: jax.Array
 ) -> dict:
@@ -166,16 +184,27 @@ def min_area_rect_from_extremes(
         [ley, rey, jnp.zeros_like(minx[..., :1], jnp.float32)], axis=-1
     )
     eok = jnp.concatenate([lok, rok, horiz_ok[..., None]], axis=-1)
-    elen = jnp.sqrt(ex * ex + ey * ey)
-    good = eok & (elen > 0)
-    inv = 1.0 / jnp.maximum(elen, 1e-30)
-    ux = ex * inv
-    uy = ey * inv  # edge dir; v = (-uy, ux)
 
     # candidate points: both chains' per-row extremes (masked)
     pxs = jnp.concatenate([minx, maxx], axis=-1).astype(jnp.float32)
     pys = jnp.concatenate([y, y], axis=-1).astype(jnp.float32)
     pok = jnp.concatenate([rowvalid, rowvalid], axis=-1)
+
+    # degenerate single point: the first valid row's minx
+    p0x = jnp.sum(jnp.where(first_row, minx, 0), axis=-1).astype(jnp.float32)
+    p0y = jnp.sum(jnp.where(first_row, y, 0), axis=-1).astype(jnp.float32)
+    valid = jnp.sum(rowvalid, axis=-1) > 0
+    return _caliper_finish(ex, ey, eok, pxs, pys, pok, p0x, p0y, valid)
+
+
+def _caliper_finish(ex, ey, eok, pxs, pys, pok, p0x, p0y, valid) -> dict:
+    """Shared caliper tail: masked edge directions (..., D) + candidate
+    points (..., P) -> min-area rect dict (cv2 conventions + tie-break)."""
+    elen = jnp.sqrt(ex * ex + ey * ey)
+    good = eok & (elen > 0)
+    inv = 1.0 / jnp.maximum(elen, 1e-30)
+    ux = ex * inv
+    uy = ey * inv  # edge dir; v = (-uy, ux)
 
     # projections: (..., D, P)
     pu = ux[..., :, None] * pxs[..., None, :] + uy[..., :, None] * pys[..., None, :]
@@ -219,11 +248,6 @@ def min_area_rect_from_extremes(
     corners = jnp.stack([corners_x, corners_y], axis=-1)  # (..., 4, 2)
 
     any_edge = jnp.any(good, axis=-1)
-    n_rows = jnp.sum(rowvalid, axis=-1)
-    valid = n_rows > 0
-    # degenerate single point: the first valid row's minx
-    p0x = jnp.sum(jnp.where(first_row, minx, 0), axis=-1).astype(jnp.float32)
-    p0y = jnp.sum(jnp.where(first_row, y, 0), axis=-1).astype(jnp.float32)
     cx = jnp.where(any_edge, cx, p0x)
     cy = jnp.where(any_edge, cy, p0y)
     bw = jnp.where(any_edge, bw, 0.0)
@@ -240,6 +264,78 @@ def min_area_rect_from_extremes(
         "angle_deg": angle,
         "valid": valid,
     }
+
+
+def min_area_rect_from_extremes_compact(
+    minx: jax.Array,
+    maxx: jax.Array,
+    rowvalid: jax.Array,
+    max_points: int = 64,
+) -> dict:
+    """Min-area rect from per-row extremes with hull compaction — the
+    large-heatmap path (H > 128, e.g. 1024/2048px scans).
+
+    The uncompacted formulation projects (2H+1 directions) x (2H points)
+    per component: at H=256, K=32, B=32 that is a ~1 GB HBM tensor and
+    dominated round-1 postprocessing.  After convexification the surviving
+    chain entries are top_k-compacted to ``max_points`` slots
+    (cfg.max_hull_points), shrinking the caliper pass to
+    (2M+1) x (2M) — ~60x less traffic at M=64.
+
+    Exactness: identical to ``min_area_rect_from_extremes`` whenever each
+    convex chain has <= max_points surviving points.  Convex-ish real
+    components (barcodes) have ~4-30 hull points; only fractal-boundary
+    masks can exceed the bound, in which case the lowest rows of a chain
+    are dropped (the rect may then under-cover — same bounded-hull contract
+    as cfg.max_hull_points elsewhere).
+    """
+    H = minx.shape[-1]
+    M = min(max_points, H)
+    y = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), minx.shape)
+    minx = jnp.where(rowvalid, minx, 0).astype(jnp.int32)
+    maxx = jnp.where(rowvalid, maxx, 0).astype(jnp.int32)
+
+    alive_l = _convexify_chain(minx, rowvalid, +1)
+    alive_r = _convexify_chain(maxx, rowvalid, -1)
+    lx, ly, lok_p = _compact_chain(minx, alive_l, M)
+    rx, ry, rok_p = _compact_chain(maxx, alive_r, M)
+
+    # chain edges: consecutive compacted entries (compaction preserves the
+    # ascending-row order, so these ARE the surviving-neighbor edges)
+    def edges(cx, cy, ok):
+        nx = jnp.roll(cx, -1, axis=-1)
+        ny = jnp.roll(cy, -1, axis=-1)
+        nok = jnp.roll(ok, -1, axis=-1).at[..., -1].set(False)
+        return (
+            (nx - cx).astype(jnp.float32),
+            (ny - cy).astype(jnp.float32),
+            ok & nok,
+        )
+
+    lex, ley, lok = edges(lx, ly, lok_p)
+    rex, rey, rok = edges(rx, ry, rok_p)
+
+    # horizontal edge + degenerate point from the full-width arrays (cheap)
+    pxf, _, phf = _scan_neighbor(minx, y, rowvalid, minx.ndim - 1, reverse=False)
+    first_row = rowvalid & ~phf
+    _, _, nhf = _scan_neighbor(minx, y, rowvalid, minx.ndim - 1, reverse=True)
+    last_row = rowvalid & ~nhf
+    horiz_ok = jnp.any((first_row | last_row) & (maxx > minx), axis=-1)
+
+    ex = jnp.concatenate([lex, rex, jnp.ones_like(lx[..., :1], jnp.float32)], axis=-1)
+    ey = jnp.concatenate([ley, rey, jnp.zeros_like(lx[..., :1], jnp.float32)], axis=-1)
+    eok = jnp.concatenate([lok, rok, horiz_ok[..., None]], axis=-1)
+
+    # candidate points: the compacted hull entries of both chains (their
+    # union contains every support point of the full candidate set)
+    pxs = jnp.concatenate([lx, rx], axis=-1).astype(jnp.float32)
+    pys = jnp.concatenate([ly, ry], axis=-1).astype(jnp.float32)
+    pok = jnp.concatenate([lok_p, rok_p], axis=-1)
+
+    p0x = jnp.sum(jnp.where(first_row, minx, 0), axis=-1).astype(jnp.float32)
+    p0y = jnp.sum(jnp.where(first_row, y, 0), axis=-1).astype(jnp.float32)
+    valid = jnp.sum(rowvalid, axis=-1) > 0
+    return _caliper_finish(ex, ey, eok, pxs, pys, pok, p0x, p0y, valid)
 
 
 def monotone_chain_hull(pts: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array]:
