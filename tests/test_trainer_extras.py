@@ -90,3 +90,45 @@ def test_visualization_helpers():
     }
     s = detection_summary_image(img, res)
     assert s.shape == (32, 32, 3)
+
+
+def test_net_config_sidecar_roundtrip(tmp_path):
+    """Trainer persists net_config.json; evaluate/detect rebuild the exact
+    trained architecture from it (round 2: --channels/--dilations/
+    --no-separable-context become checkpoint-portable)."""
+    from ubdvss_tpu.utils.checkpoint import load_net_config
+
+    cfg = NetConfig(channels=16, dilations=(1, 2), separable_context=False)
+    dc = DataConfig(batch_size=2, train_hw=(64, 64), augment=None)
+    Trainer(cfg, dc, logdir=str(tmp_path / "run"))
+    got = load_net_config(tmp_path / "run")
+    assert got == cfg
+    # also resolvable from the checkpoints subdir and an npz path inside
+    assert load_net_config(tmp_path / "run" / "checkpoints") == cfg
+    assert load_net_config(tmp_path / "run" / "weights.npz") == cfg
+    assert load_net_config(tmp_path) is None
+
+
+def test_train_cli_architecture_flags(tmp_path):
+    """--channels/--dilations/--no-separable-context reach NetConfig and the
+    sidecar; a fresh evaluate run picks the architecture up from the logdir."""
+    from ubdvss_tpu import evaluate as eval_mod
+    from ubdvss_tpu import train as train_mod
+
+    logdir = str(tmp_path / "run")
+    tr = train_mod.main([
+        "--train-data", "synthetic", "--epochs", "1", "--batch-size", "2",
+        "--synthetic-samples", "2", "--train-size", "64", "64",
+        "--no-augment", "--logdir", logdir,
+        "--channels", "12", "--dilations", "1", "2",
+        "--no-separable-context",
+    ])
+    assert tr.cfg.channels == 12
+    assert tr.cfg.dilations == (1, 2)
+    assert not tr.cfg.separable_context
+    res = eval_mod.main([
+        "--data", "synthetic", "--checkpoint", logdir,
+        "--synthetic-samples", "2", "--image-size", "64", "64",
+        "--batch-size", "2",
+    ])
+    assert res.n_images == 2

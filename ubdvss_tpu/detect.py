@@ -49,7 +49,13 @@ def main(argv=None):
 
     import cv2
 
-    cfg = NetConfig(classification=not args.detection_only)
+    from ubdvss_tpu.utils.checkpoint import load_net_config
+
+    cfg = load_net_config(args.checkpoint)
+    if cfg is None:
+        cfg = NetConfig(classification=not args.detection_only)
+    elif args.detection_only:
+        cfg = cfg.replace(classification=False)
     det = BarcodeDetector(cfg, load_params(args.checkpoint, cfg))
 
     paths: list[Path] = []

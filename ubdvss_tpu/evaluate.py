@@ -336,10 +336,22 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> EvalResult:
     args = build_argparser().parse_args(argv)
-    cfg = NetConfig(classification=not args.detection_only)
     from ubdvss_tpu.markup import get_markup_reader
     from ubdvss_tpu.models.model import init_params
-    from ubdvss_tpu.utils.checkpoint import CheckpointManager, load_params_npz
+    from ubdvss_tpu.utils.checkpoint import (
+        CheckpointManager,
+        load_net_config,
+        load_params_npz,
+    )
+
+    # architecture comes from the checkpoint's net_config.json sidecar when
+    # present (channels/dilations/separable_context must match the trained
+    # weights); --detection-only still overrides the head selection
+    cfg = load_net_config(args.checkpoint)
+    if cfg is None:
+        cfg = NetConfig(classification=not args.detection_only)
+    elif args.detection_only:
+        cfg = cfg.replace(classification=False)
 
     params = init_params(cfg, 0)
     if str(args.checkpoint).endswith(".npz"):

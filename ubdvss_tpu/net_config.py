@@ -17,6 +17,7 @@ dtype knob (f32 for ≤1e-5 oracle parity, bf16 for peak throughput).
 from __future__ import annotations
 
 import dataclasses
+import json
 from dataclasses import dataclass
 
 # Barcode object types detected by the reference system (paper §1/§4 lists
@@ -148,3 +149,15 @@ class NetConfig:
 
     def replace(self, **kw) -> "NetConfig":
         return dataclasses.replace(self, **kw)
+
+    # ---- persistence (net_config.json sidecar next to checkpoints) ---------
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=1)
+
+    @staticmethod
+    def from_json(text: str) -> "NetConfig":
+        d = json.loads(text)
+        d["class_names"] = tuple(d["class_names"])
+        d["dilations"] = tuple(d["dilations"])
+        return NetConfig(**d)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -186,6 +187,12 @@ class Trainer:
         )
         self.state = self.place_state(self.state)
         self.logger = MetricLogger(self.logdir)
+        if self.logdir:
+            # architecture sidecar: evaluate/detect rebuild the exact model
+            # from this instead of requiring CLI flags to match training
+            os.makedirs(self.logdir, exist_ok=True)
+            with open(f"{self.logdir}/net_config.json", "w") as f:
+                f.write(self.cfg.to_json())
         self.ckpt = (
             CheckpointManager(f"{self.logdir}/checkpoints") if self.logdir else None
         )
@@ -303,6 +310,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train-size", type=int, nargs=2, default=(256, 256),
                    metavar=("H", "W"))
     p.add_argument("--detection-only", action="store_true")
+    p.add_argument("--channels", type=int, default=None,
+                   help="context-module width (default NetConfig.channels)")
+    p.add_argument("--dilations", type=int, nargs="+", default=None,
+                   help="context-module dilation schedule")
+    p.add_argument("--no-separable-context", action="store_true",
+                   help="dense 3x3 context convs (~42k params, the "
+                        "paper-capacity configuration; see models/model.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=256)
@@ -389,7 +403,14 @@ def main(argv: list[str] | None = None) -> Trainer:
         num_processes=args.num_processes,
         process_id=args.process_id,
     )
-    cfg = NetConfig(classification=not args.detection_only)
+    cfg_kw: dict[str, Any] = {"classification": not args.detection_only}
+    if args.channels is not None:
+        cfg_kw["channels"] = args.channels
+    if args.dilations is not None:
+        cfg_kw["dilations"] = tuple(args.dilations)
+    if args.no_separable_context:
+        cfg_kw["separable_context"] = False
+    cfg = NetConfig(**cfg_kw)
     fmt = "synthetic" if args.train_data == "synthetic" else args.markup_format
     reader_kw: dict[str, Any] = {}
     if fmt == "synthetic":

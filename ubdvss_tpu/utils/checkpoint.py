@@ -66,6 +66,27 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def load_net_config(checkpoint: str | os.PathLike):
+    """NetConfig from the ``net_config.json`` sidecar the Trainer writes
+    next to its checkpoints, or None if absent.
+
+    Lets evaluate/detect rebuild the exact trained architecture (channels /
+    dilations / separable_context / class set) without the CLI having to
+    repeat the training flags.  ``checkpoint`` may be the logdir, the
+    ``<logdir>/checkpoints`` dir, or an .npz weight file path.
+    """
+    from ubdvss_tpu.net_config import NetConfig
+
+    p = Path(checkpoint)
+    bases = [p.parent if p.suffix == ".npz" else p]
+    bases.append(bases[0].parent)  # <logdir>/checkpoints -> <logdir>
+    for base in bases:
+        side = base / "net_config.json"
+        if side.is_file():
+            return NetConfig.from_json(side.read_text())
+    return None
+
+
 def save_params_npz(path: str | os.PathLike, params: Any) -> None:
     """Portable flat weight file (oracle interchange; h5-import analog)."""
     flat = {
