@@ -25,7 +25,11 @@ def main():
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # bfloat16 is the production perf mode (bf16 stem + dense-equivalent
+    # context convs with bf16 activations, f32 logits); float32 is the
+    # <=1e-5 oracle-parity mode.  Detection equivalence of the bf16 route
+    # is locked by tests/test_context_kernel.py.
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--postproc", default="on", choices=["on", "off"],
                    help="off = preproc+FCN only (diagnostic)")
     p.add_argument("--max-components", type=int, default=16)

@@ -213,6 +213,7 @@ def context_head_reference(x_nchw, dw, pwt, pb, hwt, hb, dilations):
 def dense_context_head(
     x_nhwc, dw, pwt, pb, hwt, hb, dilations,
     precision=lax.Precision.DEFAULT,
+    act_dtype=jnp.float32,
 ):
     """Large-image context module: each separable layer collapsed into ONE
     dense 3x3 dilated MXU conv (kernel[ty,tx,ci,co] = dw[ty,tx,ci]*pw[co,ci]
@@ -229,22 +230,26 @@ def dense_context_head(
     tests/test_context_kernel.py::test_dense_path_detections_match);
     pass HIGHEST for ~1e-7 parity at 3.7x the cost.
 
-    NHWC in / NHWC logits out.
+    ``act_dtype=bfloat16`` stores the inter-layer activations in bf16 —
+    halves the HBM round-trip per layer, which is what bounds this path
+    (the convs accumulate in f32 on the MXU either way); used by the bf16
+    perf route.  NHWC in / NHWC logits out (f32).
     """
     C = pwt.shape[-1]
-    x = x_nhwc.astype(jnp.float32)
+    x = x_nhwc.astype(act_dtype)
+    zero = jnp.zeros((), act_dtype)
     for li, d in enumerate(dilations):
         k = dw[li, :, :, 0, 0].reshape(3, 3, C, 1) * pwt[li].T.reshape(1, 1, C, C)
         y = lax.conv_general_dilated(
-            x, k, (1, 1), "SAME", rhs_dilation=(d, d),
+            x, k.astype(act_dtype), (1, 1), "SAME", rhs_dilation=(d, d),
             dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
         )
-        x = jnp.maximum(y + pb[li][:, 0, 0], 0.0)
+        x = jnp.maximum(y + pb[li][:, 0, 0].astype(act_dtype), zero)
     out = lax.conv_general_dilated(
-        x, hwt.T.reshape(1, 1, C, -1), (1, 1), "SAME",
+        x, hwt.T.reshape(1, 1, C, -1).astype(act_dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )
-    return out + hb[:, 0, 0]
+    return (out + hb[:, 0, 0].astype(act_dtype)).astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -310,21 +315,31 @@ def fused_model_apply(
     dw, pwt, pb, hwt, hb = _pack_weights(params, tuple(cfg.dilations))
     Hf, Wf = x.shape[1], x.shape[2]
     # Path selection (measured on v5e, see dense_context_head docstring):
-    #   * Pallas VMEM-resident kernel — fastest, but Mosaic's in-kernel
-    #     (C, H, W) matmul merges H*W onto lanes (needs 128-multiple W) and
-    #     its compile time explodes past ~128x128 feature maps;
+    #   * bf16 perf mode routes to the dense-equivalent MXU convs at DEFAULT
+    #     precision — measured 12.5 ms/batch at B=256 128x128 features vs
+    #     23.9 ms for the VMEM-resident Pallas kernel, whose 9-tap shift-MAC
+    #     depthwise is VPU-bound (the MXU only sees the tiny 24x24
+    #     pointwise); numerics are the bf16 route's anyway;
+    #   * Pallas VMEM-resident kernel — the f32 ≤1e-5-parity fused path, but
+    #     Mosaic's in-kernel (C, H, W) matmul merges H*W onto lanes (needs
+    #     128-multiple W) and its compile time explodes past ~128x128 maps;
     #   * dense-equivalent MXU convs — any size, one HBM pass per layer
     #     (breaks round 1's 1024px fused-path cap: 2048px scans now run a
     #     fully fused program instead of falling back to slow XLA postproc);
     #   * identical-math XLA shifts — small unaligned maps.
+    if not interpret and (stem_dtype == jnp.bfloat16 or large):
+        return dense_context_head(
+            x, dw, pwt, pb, hwt, hb, tuple(cfg.dilations),
+            act_dtype=(
+                jnp.bfloat16 if stem_dtype == jnp.bfloat16 else jnp.float32
+            ),
+        )
     if interpret or (Wf % 128 == 0 and Hf * Wf <= 128 * 128):
         xc = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the kernel
         logits = fused_context_head(
             xc, dw, pwt, pb, hwt, hb, tuple(cfg.dilations), interpret
         )
         return jnp.transpose(logits, (0, 2, 3, 1))  # NHWC
-    if Hf * Wf > 128 * 128:
-        return dense_context_head(x, dw, pwt, pb, hwt, hb, tuple(cfg.dilations))
     logits = context_head_reference(
         jnp.transpose(x, (0, 3, 1, 2)), dw, pwt, pb, hwt, hb, tuple(cfg.dilations)
     )
