@@ -178,7 +178,10 @@ def postprocess_batch_fused(
     # geometry kernel's compact stats
     if stats["minx"].shape[-1] <= 128:
         sel = min_area_rect_select(
-            stats["minx"], stats["maxx"], interpret=interpret
+            stats["minx"],
+            stats["maxx"],
+            interpret=interpret,
+            max_points=cfg.max_hull_points,
         )
         rects = rects_from_selection(sel)
     else:
