@@ -107,14 +107,20 @@ def _detect_program_batch(
         x = imgs.astype(jnp.float32)
         if x.ndim == 4:
             x = rgb_to_grayscale(x, channel_order) if x.shape[-1] == 3 else x[..., 0]
-        if x.shape[1:] != out_hw:
+        # no-resize inputs skip the full-res normalize materialization: the
+        # x/127.5 - 1 affine is folded into the stem's first conv
+        # (fused_model_apply raw_gray — border-exact)
+        raw = x.shape[1:] == out_hw
+        if not raw:
             x = jax.vmap(lambda im: resize_bilinear(im, out_hw))(x)
-        x = normalize(x)
+            x = normalize(x)
         if cfg.separable_context:
             from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
 
-            logits = fused_model_apply(params, x[..., None], cfg)
+            logits = fused_model_apply(params, x[..., None], cfg, raw_gray=raw)
         else:
+            if raw:
+                x = normalize(x)
             logits = get_model(cfg).apply({"params": params}, x[..., None])
         return postprocess_batch_fused(logits, cfg), logits
 

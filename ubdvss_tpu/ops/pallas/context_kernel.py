@@ -276,13 +276,21 @@ fused_context_head.defvjp(_fch_fwd, _fch_bwd)
 
 
 def fused_model_apply(
-    params, x_nhwc: jax.Array, cfg, interpret: bool = False
+    params, x_nhwc: jax.Array, cfg, interpret: bool = False,
+    raw_gray: bool = False,
 ) -> jax.Array:
     """Full FCN forward with the Pallas-fused context module + head.
 
     Numerically equivalent to ``get_model(cfg).apply`` for separable-context
     configs (asserted ≤1e-5 in tests/test_context_kernel.py); differentiable
     (exact custom VJP), NHWC in / NHWC logits out.
+
+    ``raw_gray=True``: input is UNNORMALIZED grayscale [0, 255] and the
+    x/127.5 - 1 normalization is folded into the first conv — conv(x/s - 1)
+    = conv(x, k/s) - conv(ones, k), where conv(ones, k) is a constant map
+    (XLA folds it) that is exact at SAME-padding borders where fewer taps
+    are in-bounds.  Skips the full-resolution normalized-image
+    materialization (~270 MB/batch at B=256 512px) on the inference path.
     """
     assert cfg.separable_context, "fused path implements the separable module"
     # stem: two stride-2 SAME convs (XLA).  f32 + HIGHEST hits the <=1e-5
@@ -300,16 +308,34 @@ def fused_model_apply(
         else lax.Precision.HIGHEST
     )
     x = x_nhwc.astype(stem_dtype)
+    dims = ("NHWC", "HWIO", "NHWC")
     for i in range(2):
         p = params[f"downscale_{i}"]
-        x = lax.conv_general_dilated(
-            x,
-            jnp.asarray(p["kernel"], stem_dtype),
-            window_strides=(2, 2),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=prec,
-        ) + jnp.asarray(p["bias"], stem_dtype)
+        if i == 0 and raw_gray:
+            k32 = jnp.asarray(p["kernel"], jnp.float32)
+            ks = (k32 * (1.0 / 127.5)).astype(stem_dtype)
+            ones = jnp.ones((1,) + x.shape[1:3] + (1,), stem_dtype)
+            corr = lax.conv_general_dilated(
+                ones, k32.astype(stem_dtype), (2, 2), "SAME",
+                dimension_numbers=dims, precision=prec,
+            )  # constant (1, H/2, W/2, C): in-bounds tap sums
+            x = (
+                lax.conv_general_dilated(
+                    x, ks, (2, 2), "SAME",
+                    dimension_numbers=dims, precision=prec,
+                )
+                - corr
+                + jnp.asarray(p["bias"], stem_dtype)
+            )
+        else:
+            x = lax.conv_general_dilated(
+                x,
+                jnp.asarray(p["kernel"], stem_dtype),
+                window_strides=(2, 2),
+                padding="SAME",
+                dimension_numbers=dims,
+                precision=prec,
+            ) + jnp.asarray(p["bias"], stem_dtype)
         x = jnp.maximum(x, jnp.zeros((), stem_dtype))
     x = x.astype(jnp.float32)
     dw, pwt, pb, hwt, hb = _pack_weights(params, tuple(cfg.dilations))

@@ -138,7 +138,6 @@ def postprocess_batch_fused(
     interpreter for CPU use.
     """
     from ubdvss_tpu.ops.pallas.postproc_kernel import component_stats_from_logits
-    from ubdvss_tpu.ops.rect import min_area_rect_from_extremes_compact
 
     Ho, Wo = logits.shape[1], logits.shape[2]
     K = cfg.max_components
@@ -172,23 +171,19 @@ def postprocess_batch_fused(
         rects_from_selection,
     )
 
-    # rect fit inside a second VMEM kernel (H <= 128; its Mosaic compile
-    # time explodes beyond that) — larger heatmaps use the hull-compacted
-    # XLA caliper (min_area_rect_from_extremes_compact), still fed by the
-    # geometry kernel's compact stats
-    if stats["minx"].shape[-1] <= 128:
-        sel = min_area_rect_select(
-            stats["minx"],
-            stats["maxx"],
-            interpret=interpret,
-            max_points=cfg.max_hull_points,
-        )
-        rects = rects_from_selection(sel)
-    else:
-        rowany_x = stats["maxx"] >= 0
-        rects = min_area_rect_from_extremes_compact(
-            stats["minx"], stats["maxx"], rowany_x, cfg.max_hull_points
-        )
+    # rect fit inside a second VMEM kernel.  The hull-compacted variant
+    # (max_points = cfg.max_hull_points) keeps the caliper projections at a
+    # fixed (2M, 2M) regardless of heatmap height, so it serves every scan
+    # size (H=512 extremes from 2048px scans: ~free vs ~28 ms/batch for the
+    # XLA compact caliper at B=16).  max_points >= H falls back to the
+    # uncompacted exact kernel inside min_area_rect_select.
+    sel = min_area_rect_select(
+        stats["minx"],
+        stats["maxx"],
+        interpret=interpret,
+        max_points=cfg.max_hull_points,
+    )
+    rects = rects_from_selection(sel)
     # padded root slots matched the background in the kernel — zero their
     # rect outputs (matches the reference path's empty-component rects)
     rv = root_valid
