@@ -176,6 +176,25 @@ def test_tiled_logits_match_whole_image(n_dev):
     )
 
 
+def test_tiled_thin_tiles_multihop_halo():
+    """Tiles thinner than the receptive-field halo stay seam-exact via
+    chained multi-neighbor ppermutes (ADVICE r1: the old clamp silently
+    broke exactness when T < halo)."""
+    cfg = NetConfig(dilations=(1, 2, 4, 8), max_components=16)
+    params = init_params(cfg, 2)
+    H, W = 256, 128
+    n_dev = 8  # T = 32 rows < receptive_field_halo
+    assert receptive_field_halo(cfg) > H // n_dev
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (H, W), dtype=np.uint8)
+    _, ref_logits = detect_program(params, jnp.asarray(img), cfg, (H, W))
+    mesh = _cpu_mesh(n_dev, "spatial")
+    res = tiled_detect(params, jnp.asarray(img), cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(res["logits"]), np.asarray(ref_logits), atol=1e-4
+    )
+
+
 @pytest.mark.slow
 def test_trained_tiled_detection_seam_exact():
     """Train briefly, then tiled and whole-image detections must agree

@@ -132,3 +132,30 @@ def test_train_cli_architecture_flags(tmp_path):
         "--batch-size", "2",
     ])
     assert res.n_images == 2
+
+
+def test_train_bf16_mixed_precision():
+    """--dtype bfloat16: bf16 trunk on the forward/backward, f32 master
+    weights preserved through the optimizer update, finite loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from ubdvss_tpu import NetConfig
+    from ubdvss_tpu.data import Batches, DataConfig
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.train import build_argparser, create_train_state, train_step
+
+    args = build_argparser().parse_args(
+        ["--train-data", "synthetic", "--dtype", "bfloat16"]
+    )
+    assert args.dtype == "bfloat16"
+
+    cfg = NetConfig(dtype="bfloat16")
+    reader = SyntheticMarkupReader(n_samples=4, image_hw=(64, 64), seed=0)
+    dc = DataConfig(batch_size=4, train_hw=(64, 64), augment=None)
+    batch = next(iter(Batches(reader, cfg, dc, train=True).epoch(0)))
+    state = create_train_state(cfg, lr=1e-3)
+    state, metrics = train_step(state, batch, cfg)
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32  # master weights stay f32

@@ -203,20 +203,14 @@ def tiled_detect(
     rf_halo = receptive_field_halo(cfg)
     if halo is None:
         halo = rf_halo
-    halo = min(halo, T - (T % cfg.scale) if T % cfg.scale else T)
-    if halo < rf_halo:
-        # seam exactness holds only when the exchanged halo covers the full
-        # receptive field; a thin tile (T < rf_halo) clamps it (ADVICE r1)
-        import warnings
-
-        warnings.warn(
-            f"tiled_detect: halo clamped to {halo} rows (< receptive field "
-            f"{rf_halo}) because tiles are only {T} rows tall — logits near "
-            "tile seams may differ from whole-image inference; use fewer "
-            "devices along the spatial axis or taller images for exactness",
-            stacklevel=2,
-        )
-    assert halo % cfg.scale == 0 and halo <= T, (halo, T)
+    # Thin tiles (T < halo) fetch their halo from MULTIPLE neighbors via
+    # chained ppermutes (ADVICE r1: no silent clamp — seam logits stay
+    # exact for any device count).  The only true bound is the image edge,
+    # which the boundary mask re-zeroes anyway.
+    halo = min(halo, (n - 1) * T)
+    halo -= halo % cfg.scale
+    n_hops = -(-halo // T) if halo else 0  # ceil
+    assert halo % cfg.scale == 0 and halo <= (n - 1) * T, (halo, T, n)
     Ho, Wo = H // cfg.scale, W // cfg.scale
     To = T // cfg.scale
     ho = halo // cfg.scale
@@ -233,10 +227,25 @@ def tiled_detect(
             x = rgb_to_grayscale(x, "rgb")
         idx = lax.axis_index(axis)
 
-        # --- 1. halo exchange of raw rows ---
-        from_above = lax.ppermute(x[T - halo :], axis, fwd)  # rank i-1's bottom
-        from_below = lax.ppermute(x[:halo], axis, bwd)  # rank i+1's top
-        padded = jnp.concatenate([from_above, x, from_below], axis=0)
+        # --- 1. halo exchange of raw rows: hop h forwards whole tiles h
+        # ranks along the axis, so rank i accumulates tiles i-n_hops..i-1
+        # above and i+1..i+n_hops below; edge ranks receive zeros from the
+        # truncated permutation (re-zeroed by the boundary mask anyway) ---
+        above_tiles, below_tiles = [], []
+        cur_up, cur_dn = x, x
+        for _ in range(n_hops):
+            cur_up = lax.ppermute(cur_up, axis, fwd)  # tile from rank i-h
+            cur_dn = lax.ppermute(cur_dn, axis, bwd)  # tile from rank i+h
+            above_tiles.insert(0, cur_up)
+            below_tiles.append(cur_dn)
+        if n_hops:
+            from_above = jnp.concatenate(above_tiles, axis=0)[
+                n_hops * T - halo :
+            ]
+            from_below = jnp.concatenate(below_tiles, axis=0)[:halo]
+            padded = jnp.concatenate([from_above, x, from_below], axis=0)
+        else:
+            padded = x
 
         # --- 2. local fused preproc + FCN ---
         # boundary mask: rows of the padded tile that fall outside the

@@ -314,6 +314,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="context-module width (default NetConfig.channels)")
     p.add_argument("--dilations", type=int, nargs="+", default=None,
                    help="context-module dilation schedule")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision training (bf16 trunk "
+                        "on the MXU, f32 master weights/optimizer/logits)")
     p.add_argument("--no-separable-context", action="store_true",
                    help="dense 3x3 context convs (~42k params, the "
                         "paper-capacity configuration; see models/model.py)")
@@ -403,7 +407,10 @@ def main(argv: list[str] | None = None) -> Trainer:
         num_processes=args.num_processes,
         process_id=args.process_id,
     )
-    cfg_kw: dict[str, Any] = {"classification": not args.detection_only}
+    cfg_kw: dict[str, Any] = {
+        "classification": not args.detection_only,
+        "dtype": args.dtype,
+    }
     if args.channels is not None:
         cfg_kw["channels"] = args.channels
     if args.dilations is not None:
