@@ -42,8 +42,6 @@ def main():
 
     from ubdvss_tpu import NetConfig, init_params
     from ubdvss_tpu.inference import detect_program_batch
-    from ubdvss_tpu.models.model import get_model
-    from ubdvss_tpu.ops.preproc import preprocess
     from ubdvss_tpu.synthetic import SyntheticMarkupReader
     from ubdvss_tpu.utils.checkpoint import load_params_npz
 
@@ -76,12 +74,17 @@ def main():
                 + jnp.sum(res["valid"])
             )
     else:
-        model = get_model(cfg)
+        from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
 
         @jax.jit
         def run(imgs):
-            x = jax.vmap(lambda im: preprocess(im, (S, S)))(imgs)
-            return jnp.sum(model.apply({"params": params}, x))
+            # same fused preproc+FCN route as the e2e path (the old
+            # get_model+vmap formulation compiled for tens of minutes at
+            # B=256), postprocessing skipped
+            logits = fused_model_apply(
+                params, imgs.astype(jnp.float32)[..., None], cfg, raw_gray=True
+            )
+            return jnp.sum(logits)
 
     # warmup / compile
     acc = run(imgs)
