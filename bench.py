@@ -32,6 +32,8 @@ def main():
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--postproc", default="on", choices=["on", "off"],
                    help="off = preproc+FCN only (diagnostic)")
+    p.add_argument("--mode", default="infer", choices=["infer", "train"],
+                   help="train = jitted train-step throughput (fwd+bwd+adam)")
     p.add_argument("--max-components", type=int, default=16)
     args = p.parse_args()
 
@@ -57,6 +59,33 @@ def main():
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     B, S = args.batch_size, args.image_size
+
+    if args.mode == "train":
+        from ubdvss_tpu.data import Batches, DataConfig
+        from ubdvss_tpu.train import create_train_state, train_step
+
+        B = min(B, 64)  # adam state for B=256 at 512px is unnecessary
+        reader = SyntheticMarkupReader(n_samples=B, image_hw=(S, S), seed=7)
+        dc = DataConfig(batch_size=B, train_hw=(S, S), seed=0)
+        batch = next(iter(Batches(reader, cfg, dc, train=True).epoch(0)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = create_train_state(cfg, lr=1e-3)
+        state, m = train_step(state, batch, cfg)
+        float(jax.device_get(m["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = train_step(state, batch, cfg)
+        float(jax.device_get(m["loss"]))  # chained through donated state
+        dt = time.perf_counter() - t0
+        ips = B * args.iters / dt
+        print(json.dumps({
+            "metric": f"train_images_per_sec_{S}_per_chip",
+            "value": round(ips, 1),
+            "unit": "img/s",
+            "vs_baseline": round(ips / 5000.0, 4),
+        }))
+        return ips
+
     reader = SyntheticMarkupReader(
         n_samples=B, image_hw=(S, S), seed=7, n_objects=(2, 5)
     )

@@ -66,3 +66,30 @@ def test_batch_program_matches_single():
     np.testing.assert_allclose(
         np.asarray(res_b["boxes"])[0], np.asarray(res_0["boxes"]), atol=1e-5
     )
+
+
+def test_pretrained_assets_load_and_detect():
+    """Both bundled assets (separable 11.9k + capacity-parity dense 42.3k)
+    load into their architectures and detect on a synthetic scene."""
+    import os
+
+    from ubdvss_tpu.models.model import param_count
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.utils.checkpoint import load_params_npz
+
+    import jax.numpy as jnp
+
+    root = os.path.join(os.path.dirname(__file__), "..", "assets")
+    reader = SyntheticMarkupReader(n_samples=1, image_hw=(256, 256), seed=5)
+    img = jnp.asarray(reader.sample_at(0).image)
+    for fname, cfg in [
+        ("pretrained_synthetic.npz", NetConfig(max_components=8)),
+        (
+            "pretrained_dense_synthetic.npz",
+            NetConfig(max_components=8, separable_context=False),
+        ),
+    ]:
+        params = load_params_npz(os.path.join(root, fname), init_params(cfg, 0))
+        assert param_count(params) > 40_000 if not cfg.separable_context else True
+        res, _ = detect_program_batch(params, img[None], cfg, (256, 256), fused=False)
+        assert int(res["num_detections"][0]) >= 1, fname

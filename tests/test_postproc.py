@@ -160,3 +160,27 @@ def test_component_overflow_reported():
     res2 = postprocess(logits, cfg_big)
     assert int(res2["num_components_total"]) == 9
     assert int(res2["num_detections"]) == 9
+
+
+def test_fused_exact_caliper_request_large_heatmap():
+    """max_hull_points >= H at H > 128 routes the rect fit through the XLA
+    caliper (the uncompacted Mosaic kernel's compile time explodes there);
+    results still match the reference path."""
+    from ubdvss_tpu.ops.postproc import postprocess_batch, postprocess_batch_fused
+
+    import jax.numpy as jnp
+
+    H, W = 160, 160
+    cfg = NetConfig(
+        max_components=4, min_component_area=1, classification=False,
+        max_hull_points=256,
+    )
+    logits = np.full((H, W, 1), -6.0, np.float32)
+    logits[20:60, 30:90, 0] = 6.0
+    logits[100:140, 40:70, 0] = 6.0
+    ra = postprocess_batch(jnp.asarray(logits)[None], cfg)
+    rb = postprocess_batch_fused(jnp.asarray(logits)[None], cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ra["valid"]), np.asarray(rb["valid"]))
+    np.testing.assert_allclose(
+        np.asarray(ra["boxes"]), np.asarray(rb["boxes"]), atol=1e-3
+    )

@@ -187,6 +187,7 @@ def test_scan_path_vs_serial_reference_fuzz():
         assert abs(float(np.prod(res["size"])) - float(np.prod(np.asarray(ref["size"])))) < 1e-3
 
 
+@pytest.mark.slow
 def test_compact_extremes_matches_exact():
     """Hull-compacted caliper (large-heatmap path) == exact extremes path
     for components whose chains fit max_hull_points (all realistic blobs)."""

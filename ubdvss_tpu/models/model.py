@@ -36,7 +36,11 @@ classification head converges faster (train type-accuracy 0.45 vs 0.34 at
 the same step count); the separable default stays because the paper
 describes separable context convs and it wins on FLOPs at equal F1-scale —
 but ``NetConfig(separable_context=False)`` (CLI: --no-separable-context) is
-the capacity-parity configuration.
+the capacity-parity configuration.  A pretrained dense checkpoint ships as
+``assets/pretrained_dense_synthetic.npz`` (100 epochs on 192 synthetic
+scenes: held-out object-level detection P/R/F1 = 0.990, pixel F1 0.931;
+type-classification accuracy 0.274 — the cls head needs far longer
+schedules than detection, as the experiment above already showed).
 """
 
 from __future__ import annotations

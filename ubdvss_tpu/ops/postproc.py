@@ -177,13 +177,24 @@ def postprocess_batch_fused(
     # size (H=512 extremes from 2048px scans: ~free vs ~28 ms/batch for the
     # XLA compact caliper at B=16).  max_points >= H falls back to the
     # uncompacted exact kernel inside min_area_rect_select.
-    sel = min_area_rect_select(
-        stats["minx"],
-        stats["maxx"],
-        interpret=interpret,
-        max_points=cfg.max_hull_points,
-    )
-    rects = rects_from_selection(sel)
+    Hx = stats["minx"].shape[-1]
+    if cfg.max_hull_points < Hx or Hx <= 128:
+        sel = min_area_rect_select(
+            stats["minx"],
+            stats["maxx"],
+            interpret=interpret,
+            max_points=cfg.max_hull_points,
+        )
+        rects = rects_from_selection(sel)
+    else:
+        # max_hull_points >= H asks for the uncompacted caliper; at H > 128
+        # the exact Mosaic kernel's compile time explodes (dirs scale with
+        # H), so serve exactness through the XLA formulation instead
+        from ubdvss_tpu.ops.rect import min_area_rect_from_extremes_compact
+
+        rects = min_area_rect_from_extremes_compact(
+            stats["minx"], stats["maxx"], stats["maxx"] >= 0, Hx
+        )
     # padded root slots matched the background in the kernel — zero their
     # rect outputs (matches the reference path's empty-component rects)
     rv = root_valid
