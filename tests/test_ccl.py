@@ -83,3 +83,15 @@ def test_rectangular_image():
     rng = np.random.default_rng(2)
     mask = rng.random((17, 93)) < 0.4
     _check(mask, 8)
+
+
+def test_partition_invariant_under_transpose():
+    """SURVEY.md §4.3 property: the component partition commutes with a
+    spatial permutation of the image (here transpose): partitions of
+    labels(mask).T and labels(mask.T) must be identical."""
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        mask = rng.random((48, 64)) < 0.35
+        la, _ = connected_components(mask, connectivity=8)
+        lb, _ = connected_components(mask.T, connectivity=8)
+        assert _partition_equal(np.asarray(la).T, np.asarray(lb))

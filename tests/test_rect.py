@@ -231,3 +231,39 @@ def test_compact_extremes_matches_exact():
             np.asarray(a[key], np.float32), np.asarray(c[key], np.float32),
             atol=1e-4, err_msg=key,
         )
+
+
+def test_rect_invariant_under_rot90():
+    """SURVEY.md §4.3 property: min-area rect commutes with 90-degree
+    rotation — same size (axes swapped) and area, corners mapped."""
+    import jax.numpy as jnp
+
+    from ubdvss_tpu.net_config import NetConfig
+    from ubdvss_tpu.ops.postproc import postprocess
+
+    rng = np.random.default_rng(7)
+    cfg = NetConfig(max_components=4, min_component_area=1, classification=False)
+    for _ in range(3):
+        H = W = 48
+        logits = np.full((H, W, 1), -6.0, np.float32)
+        y0, x0 = rng.integers(4, 20, 2)
+        hh, ww = rng.integers(8, 20, 2)
+        ys, xs = np.mgrid[0:H, 0:W]
+        # a tilted ellipse blob
+        cy, cx = y0 + hh / 2, x0 + ww / 2
+        e = (((ys - cy) * 0.8 + (xs - cx) * 0.6) / hh) ** 2 + (
+            ((xs - cx) * 0.8 - (ys - cy) * 0.6) / ww
+        ) ** 2
+        logits[e < 0.5, 0] = 6.0
+        ra = postprocess(jnp.asarray(logits), cfg)
+        rb = postprocess(jnp.asarray(np.rot90(logits, 1).copy()), cfg)
+        assert int(ra["num_detections"]) == int(rb["num_detections"]) == 1
+        sa = np.sort(np.asarray(ra["size"])[0])
+        sb = np.sort(np.asarray(rb["size"])[0])
+        np.testing.assert_allclose(sa, sb, atol=1e-3)
+        # rot90 maps (x, y) -> (y, W-1-x) at heatmap scale; centers must map
+        ca = np.asarray(ra["center"])[0] / cfg.scale
+        cb = np.asarray(rb["center"])[0] / cfg.scale
+        np.testing.assert_allclose(
+            cb, np.array([ca[1], (W - 1) - ca[0]]), atol=1.0
+        )
