@@ -37,10 +37,13 @@ the same step count); the separable default stays because the paper
 describes separable context convs and it wins on FLOPs at equal F1-scale —
 but ``NetConfig(separable_context=False)`` (CLI: --no-separable-context) is
 the capacity-parity configuration.  A pretrained dense checkpoint ships as
-``assets/pretrained_dense_synthetic.npz`` (100 epochs on 192 synthetic
-scenes: held-out object-level detection P/R/F1 = 0.990, pixel F1 0.931;
-type-classification accuracy 0.274 — the cls head needs far longer
-schedules than detection, as the experiment above already showed).
+``assets/pretrained_dense_synthetic.npz`` (400-epoch cosine schedule on
+1024 synthetic 128px scenes, classification_loss_weight=2, best-epoch
+selection by held-out object F1 + type accuracy: val P/R/F1 = 1.000 and
+type accuracy 0.636 at 128px; the cls head needs far longer schedules than
+detection, as the experiment above already showed).  Both assets carry a
+``<stem>.net_config.json`` sidecar so detect/evaluate rebuild the right
+architecture automatically (utils/checkpoint.load_net_config).
 """
 
 from __future__ import annotations

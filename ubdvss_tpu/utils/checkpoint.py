@@ -78,22 +78,36 @@ def load_net_config(checkpoint: str | os.PathLike):
     from ubdvss_tpu.net_config import NetConfig
 
     p = Path(checkpoint)
-    bases = [p.parent if p.suffix == ".npz" else p]
+    candidates = []
+    if p.suffix == ".npz":
+        # per-file sidecar first: lets several differently-shaped weight
+        # files share one directory (e.g. assets/) without ambiguity
+        candidates.append(p.with_suffix(".net_config.json"))
+        bases = [p.parent]
+    else:
+        bases = [p]
     bases.append(bases[0].parent)  # <logdir>/checkpoints -> <logdir>
-    for base in bases:
-        side = base / "net_config.json"
+    candidates.extend(base / "net_config.json" for base in bases)
+    for side in candidates:
         if side.is_file():
             return NetConfig.from_json(side.read_text())
     return None
 
 
-def save_params_npz(path: str | os.PathLike, params: Any) -> None:
-    """Portable flat weight file (oracle interchange; h5-import analog)."""
+def save_params_npz(path: str | os.PathLike, params: Any, cfg=None) -> None:
+    """Portable flat weight file (oracle interchange; h5-import analog).
+
+    With ``cfg`` also writes a ``<stem>.net_config.json`` sidecar so
+    evaluate/detect can rebuild the exact architecture from the file alone
+    (see load_net_config).
+    """
     flat = {
         "/".join(str(k.key) for k in kp): np.asarray(v)
         for kp, v in jax.tree_util.tree_flatten_with_path(params)[0]
     }
     np.savez(path, **flat)
+    if cfg is not None:
+        Path(path).with_suffix(".net_config.json").write_text(cfg.to_json())
 
 
 def load_params_npz(path: str | os.PathLike, like: Any) -> Any:
