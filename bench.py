@@ -35,6 +35,9 @@ def main():
     p.add_argument("--mode", default="infer", choices=["infer", "train"],
                    help="train = jitted train-step throughput (fwd+bwd+adam)")
     p.add_argument("--max-components", type=int, default=16)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the timed region "
+                        "(perfetto dump, SURVEY.md §5 tracing) into DIR")
     args = p.parse_args()
 
     import os
@@ -124,12 +127,15 @@ def main():
     # honest timing: chain every iteration into one scalar and fetch it once
     # — nothing can be elided or left un-executed by a lazy backend, and only
     # 4 bytes cross the host link
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for _ in range(args.iters):
-        acc = acc + run(imgs)
-    float(jax.device_get(acc))
-    dt = time.perf_counter() - t0
+    from ubdvss_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for _ in range(args.iters):
+            acc = acc + run(imgs)
+        float(jax.device_get(acc))
+        dt = time.perf_counter() - t0
 
     ips = B * args.iters / dt
     print(

@@ -84,6 +84,7 @@ def test_train_and_evaluate_cli(tmp_path):
     from ubdvss_tpu import train as train_mod
 
     logdir = str(tmp_path / "run")
+    export = tmp_path / "weights.npz"
     train_mod.main(
         [
             "--train-data", "synthetic",
@@ -94,8 +95,16 @@ def test_train_and_evaluate_cli(tmp_path):
             "--synthetic-samples", "4",
             "--train-size", "64", "64",
             "--no-augment",
+            "--export-npz", str(export),
         ]
     )
+    # portable export: weights + architecture sidecar, loadable stand-alone
+    from ubdvss_tpu import init_params
+    from ubdvss_tpu.utils.checkpoint import load_net_config, load_params_npz
+
+    ecfg = load_net_config(str(export))
+    assert ecfg is not None
+    load_params_npz(str(export), init_params(ecfg, 0))
     assert (tmp_path / "run" / "metrics.jsonl").exists() or True
     report = str(tmp_path / "report.json")
     res = evaluate_mod.main(

@@ -294,6 +294,17 @@ class Trainer:
             self.ckpt.save(step, self.state)
         return self.state
 
+    def export_params(self, prefer_best: bool = True):
+        """Host copy of the trained params — the best-checkpoint ones when a
+        save-best checkpointer has ranked any (reference ModelCheckpoint
+        save_best_only analog), else the final step's."""
+        if prefer_best and self.best_ckpt and self.best_ckpt.best_step() is not None:
+            state = self.best_ckpt.restore(
+                jax.device_get(self.state), self.best_ckpt.best_step()
+            )
+            return state.params
+        return jax.device_get(self.state.params)
+
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train the barcode detector (TPU)")
@@ -329,6 +340,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--decay-steps", type=int, default=10_000)
     p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--export-npz", default=None,
+                   help="after training, write portable weights (+ "
+                        "net_config sidecar) here — best-checkpoint params "
+                        "when available, else final")
     p.add_argument("--debug-nan", action="store_true",
                    help="checkify NaN/inf/OOB guards (debug builds)")
     p.add_argument("--profile", default=None,
@@ -457,6 +472,10 @@ def main(argv: list[str] | None = None) -> Trainer:
 
     with trace(args.profile):
         trainer.fit(train_b, args.epochs, val_b)
+    if args.export_npz:
+        from ubdvss_tpu.utils.checkpoint import save_params_npz
+
+        save_params_npz(args.export_npz, trainer.export_params(), cfg=cfg)
     return trainer
 
 
