@@ -71,6 +71,23 @@ def test_best_checkpoint_and_image_summary(tmp_path):
     tr.fit(batches, epochs=2, val_batches=val)
     assert tr.best_ckpt.best_step() is not None
     assert (tmp_path / "metrics.jsonl").exists()
+    # export_params returns the best-ranked checkpoint's params (the
+    # ModelCheckpoint save_best_only analog behind train --export-npz)
+    best = tr.export_params()
+    want = tr.best_ckpt.restore(
+        jax.device_get(tr.state), tr.best_ckpt.best_step()
+    ).params
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(best), jax.tree.leaves(want))
+    )
+    final = tr.export_params(prefer_best=False)
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree.leaves(final), jax.tree.leaves(jax.device_get(tr.state.params))
+        )
+    )
 
 
 def test_visualization_helpers():
