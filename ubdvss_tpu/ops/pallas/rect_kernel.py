@@ -448,7 +448,13 @@ def min_area_rect_select(
     budget = 32 * 1024 * 1024
     dim = 2 * max_points if max_points is not None else H
     pc = min(dim, 128)
-    per_comp = 4 * 4 * dim * max(pc, 128)  # ~4 live f32 padded proj tensors
+    # live padded-f32 working-set per component: ~4 projection tensors on
+    # the compacted path; the uncompacted exact kernel keeps ~14 (measured
+    # from a Mosaic scoped-vmem OOM at kc=256, H=64: 108.95M total stack —
+    # entry()'s 256px/K=64 config hit this when max_points >= H disabled
+    # compaction), so it must chunk ~3.5x finer
+    live = 4 if max_points is not None else 14
+    per_comp = live * 4 * dim * max(pc, 128)
     cap = max(1, budget // per_comp)
     # Mosaic block rule: the K block dim must be 8-divisible or equal to K
     legal = [d for d in range(8, K + 1, 8) if K % d == 0 and d <= cap]
