@@ -185,3 +185,51 @@ def test_batches_eval_no_augment():
     b1 = next(iter(ev.epoch(0)))
     b2 = next(iter(ev.epoch(1)))
     np.testing.assert_array_equal(np.asarray(b1["images"]), np.asarray(b2["images"]))
+
+
+def test_1d_class_textures_separable_at_stride4():
+    """Round-2 diagnosis: within-1D type accuracy was ~0.15 because all 1D
+    classes rendered as scale-normalized stripes, indistinguishable at the
+    model's stride-4 feature resolution.  Guard the fix: stride-4
+    block-mean features must separate the 7 1D classes (leave-one-out
+    nearest-centroid accuracy >= 0.9 — a far weaker classifier than the
+    FCN, so real confusion shows up here first)."""
+    from ubdvss_tpu.net_config import CLASS_GROUPS
+    from ubdvss_tpu.synthetic import _render_barcode
+
+    def feats(t):
+        h, w = t.shape
+        hh, ww = h // 4, w // 4
+        s4 = t[: hh * 4, : ww * 4].reshape(hh, 4, ww, 4).mean((1, 3)) / 255.0
+        return np.array(
+            [
+                s4.mean(),
+                (s4 < 0.16).mean(),
+                (s4 > 0.84).mean(),
+                s4[0].mean(),
+                s4[-1].mean(),
+                s4[:, :2].mean(),
+                s4[:, -2:].mean(),
+            ]
+        )
+
+    names = CLASS_GROUPS["1D"]
+    X, y = [], []
+    for ci, name in enumerate(names):
+        for inst in range(6):
+            rng = np.random.default_rng(1000 + inst)
+            for (w, h) in [(56, 28), (80, 36), (104, 48)]:
+                X.append(feats(_render_barcode(rng, w, h, "1D", name)))
+                y.append(ci)
+    X, y = np.stack(X), np.array(y)
+    correct = 0
+    for i in range(len(X)):
+        cents = np.stack(
+            [
+                X[(y == c) & (np.arange(len(X)) != i)].mean(0)
+                for c in range(len(names))
+            ]
+        )
+        correct += int(np.argmin(np.linalg.norm(cents - X[i], axis=1)) == y[i])
+    acc = correct / len(X)
+    assert acc >= 0.9, f"1D texture separability degraded: {acc:.2f}"

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
     rotation_deg: float = 15.0
-    scale_range: tuple[float, float] = (0.8, 1.25)
+    scale_range: tuple[float, float] = (0.7, 1.4)
     translate_frac: float = 0.05
     flip_prob: float = 0.5  # x-mirror probability
     flip_y_prob: float = 0.0  # y-mirror probability (off by default)

@@ -30,6 +30,92 @@ def _class_rng(name: str) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
+# Per-class 1D rendering styles.  Round-2 diagnosis: group accuracy
+# (1D/2D/postal) was 1.0 but within-1D accuracy ~0.15 — the old renderer
+# drew every 1D class as stripes whose widths were *normalized to the
+# instance width*, so the class signature was a relative-width sequence at
+# unknown scale/phase, invisible to stride-4 features.  Each class now gets
+# an orthogonal combination of LOW-FREQUENCY, SCALE-STABLE cues (mirroring
+# how real symbologies actually differ to the eye):
+#   module: narrow-bar width in ABSOLUTE pixels (2px stripes alias to
+#     uniform gray at stride 4; 6px stripes resolve as black/white bands);
+#   duty: dark fraction (mean-gray cue, survives contrast jitter as a
+#     relative ordering);
+#   structural mark: bottom text band w/ descending guards (EAN13), text
+#     band + wide quiet zones (UPCA), inter-character gaps (Code39), none
+#     (Code93), solid stop block right (Code128), stop blocks both ends
+#     (Codabar), bearer bars top+bottom (ITF).
+_1D_STYLE: dict[str, dict] = {
+    "EAN13": dict(module=2, duty=0.50, band=True, guards=True),
+    "UPCA": dict(module=2, duty=0.65, band=True, quiet=True),
+    "Code39": dict(module=6, duty=0.35, gaps=True),
+    "Code93": dict(module=6, duty=0.70),
+    "Code128": dict(module=2, duty=0.45, stop_right=True),
+    "Codabar": dict(module=5, duty=0.35, stop_both=True),
+    "ITF": dict(module=4, duty=0.50, bearer=True),
+}
+
+
+def _render_1d(
+    img: np.ndarray, rng: np.random.Generator, crng: np.random.Generator, style: dict
+) -> None:
+    """Draw a 1D symbology into ``img`` (in place) per its style dict."""
+    h, w = img.shape
+    module = float(style["module"]) * float(rng.uniform(0.9, 1.15))
+    duty = float(style["duty"])
+    wfactor = (1.0 - duty) / duty  # white-run multiplier hitting the duty
+    # fixed per-class run-length sequence (in modules); instance: phase
+    dark_seq = crng.integers(1, 3, 96)
+    white_seq = crng.integers(1, 3, 96)
+    phase = int(rng.integers(0, 96))
+    # horizontal extent of the stripe field
+    x0, x1 = 1, w - 1
+    if style.get("quiet"):  # UPCA: wide white quiet zones both ends
+        qz = max(3, int(0.12 * w))
+        x0, x1 = qz, w - qz
+    if style.get("stop_right"):  # Code128: solid stop block at right
+        sw = max(6, int(0.10 * w))
+        img[1 : h - 1, w - 1 - sw : w - 1] = 0
+        x1 = w - 1 - sw - max(2, int(module))
+    if style.get("stop_both"):  # Codabar: stop blocks at both ends
+        sw = max(5, int(0.08 * w))
+        img[1 : h - 1, 1 : 1 + sw] = 0
+        img[1 : h - 1, w - 1 - sw : w - 1] = 0
+        x0, x1 = 1 + sw + max(2, int(module)), w - 1 - sw - max(2, int(module))
+    # vertical extent: text band reserves a white strip at the bottom
+    y0, y1 = 1, h - 1
+    band_h = 0
+    if style.get("band"):
+        band_h = max(3, int(0.28 * h))
+        img[h - band_h :, :] = 255
+        y1 = h - band_h
+    # stripe field: alternate dark/white runs of the class's sequence
+    x = float(x0)
+    i = phase
+    n_dark = 0
+    while x < x1:
+        dw = max(1.0, dark_seq[i % 96] * module)
+        sw_ = max(1.0, white_seq[i % 96] * module * wfactor)
+        xe = min(int(round(x + dw)), x1)
+        if xe > int(x):
+            img[y0:y1, int(x) : xe] = 0
+        n_dark += 1
+        x += dw + sw_
+        if style.get("gaps") and n_dark % 4 == 0:  # Code39 inter-char gap
+            x += 3.0 * module * wfactor
+        i += 1
+    if style.get("guards"):  # EAN13: guard pairs descend through the band
+        for gx in (x0, (x0 + x1) // 2, x1 - 2 - int(module)):
+            gx = int(np.clip(gx, 1, w - 3 - int(module)))
+            img[y0 : h - 1, gx : gx + max(1, int(module))] = 0
+            g2 = gx + 2 * max(1, int(module))
+            img[y0 : h - 1, g2 : g2 + max(1, int(module))] = 0
+    if style.get("bearer"):  # ITF: bearer bars along top and bottom
+        t = max(2, int(0.12 * h))
+        img[0:t, :] = 0
+        img[h - t :, :] = 0
+
+
 def _render_barcode(
     rng: np.random.Generator, w: int, h: int, group: str, name: str = ""
 ) -> np.ndarray:
@@ -41,27 +127,38 @@ def _render_barcode(
     img = np.full((h, w), 255, np.uint8)
     crng = _class_rng(name or group)
     if group == "1D":
-        # class signature: fixed bar-width base sequence; instance: phase
-        base = crng.integers(1, 4, 64)
-        phase = int(rng.integers(0, 32))
-        widths = np.concatenate([base[phase:], base[:phase], base])
-        xs = np.cumsum(widths)
-        xs = (xs / max(xs[-1], 1) * (w - 2)).astype(int)
-        dark = True
-        prev = 1
-        for x in xs:
-            if dark:
-                img[1 : h - 1, prev : max(x, prev + 1)] = 0
-            dark = not dark
-            prev = x
+        style = _1D_STYLE.get(name)
+        if style is None:  # unknown 1D class: neutral medium stripes
+            style = dict(module=3, duty=0.5)
+        _render_1d(img, rng, crng, style)
     elif group == "postal":
-        # class signature: fixed tall/short bar-height pattern
-        pattern = crng.choice([0.45, 0.7, 1.0], 48)
-        n_bars = max(6, w // 4)
-        xs = np.linspace(1, w - 2, n_bars).astype(int)
+        # per-class signature: bar pitch (px) + height levels + vertical
+        # alignment (bottom-aligned / centered / 4-state), scale-stable
+        # low-frequency cues like the _1D_STYLE table
+        pstyle = {
+            "Postnet": dict(pitch=4, levels=(0.45, 1.0), align="bottom"),
+            "IntelligentMail": dict(pitch=5, levels=(0.4, 0.7, 1.0), align="4state"),
+            "JapanPost": dict(pitch=7, levels=(0.5, 0.75, 1.0), align="center"),
+            "RoyalMail": dict(pitch=3, levels=(0.4, 0.7, 1.0), align="4state"),
+        }.get(name, dict(pitch=4, levels=(0.45, 0.7, 1.0), align="center"))
+        pattern = crng.choice(pstyle["levels"], 48)
+        updown = crng.integers(0, 2, 48)  # 4-state: ascender vs descender
+        phase = int(rng.integers(0, 48))
+        xs = np.arange(1, w - 2, pstyle["pitch"])
         for i, x in enumerate(xs):
-            bh = int(h * pattern[i % len(pattern)] * 0.85)
-            img[(h - bh) // 2 : (h + bh) // 2, x : x + 2] = 0
+            frac = pattern[(i + phase) % 48]
+            bh = max(2, int(h * frac * 0.85))
+            if pstyle["align"] == "bottom":
+                r0, r1 = h - 1 - bh, h - 1
+            elif pstyle["align"] == "center":
+                r0, r1 = (h - bh) // 2, (h + bh) // 2
+            else:  # 4-state: grow from center line up or down
+                mid = h // 2
+                if updown[(i + phase) % 48]:
+                    r0, r1 = mid - bh, mid + max(1, int(0.2 * h))
+                else:
+                    r0, r1 = mid - max(1, int(0.2 * h)), mid + bh
+            img[max(0, r0) : min(h, r1), x : x + 2] = 0
     else:  # 2D: class-specific module size + finder-mark style
         mod = max(2, min(w, h) // int(crng.integers(8, 16)))
         gh, gw = max(1, (h - 2) // mod), max(1, (w - 2) // mod)
@@ -127,8 +224,12 @@ def generate_sample(
     for _ in range(n):
         name = str(rng.choice(class_names))
         group = _group_of(name)
-        bw = int(rng.integers(40, max(41, W // 3)))
-        bh = int(rng.integers(24, max(25, H // 4)))
+        # absolute size ranges (clamped to the scene) so a model trained at
+        # one scene resolution sees the same object scales at another —
+        # r2's proportional sizes (bw ~ W/3) made 256px eval out-of-dist
+        # for a 128px-trained model
+        bw = int(rng.integers(40, max(41, min(108, W // 2))))
+        bh = int(rng.integers(24, max(25, min(60, H // 3))))
         if group == "postal":
             bh = max(12, bh // 2)
         tex = _render_barcode(rng, bw, bh, group, name)
