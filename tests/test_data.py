@@ -233,3 +233,50 @@ def test_1d_class_textures_separable_at_stride4():
         correct += int(np.argmin(np.linalg.norm(cents - X[i], axis=1)) == y[i])
     acc = correct / len(X)
     assert acc >= 0.9, f"1D texture separability degraded: {acc:.2f}"
+
+
+def test_postal_class_textures_separable_at_stride4():
+    """Same guard for the postal group: pitch / height-levels / vertical
+    alignment must separate the 4 postal classes in stride-4 block-mean
+    features (postal scenes render at roughly half the height of 1D — use
+    the generate_sample aspect)."""
+    from ubdvss_tpu.net_config import CLASS_GROUPS
+    from ubdvss_tpu.synthetic import _render_barcode
+
+    def feats(t):
+        h, w = t.shape
+        hh, ww = h // 4, w // 4
+        s4 = t[: hh * 4, : ww * 4].reshape(hh, 4, ww, 4).mean((1, 3)) / 255.0
+        rows = s4.mean(1)  # vertical darkness profile
+        q = max(1, hh // 4)
+        return np.array(
+            [
+                s4.mean(),
+                rows[:q].mean(),  # top quarter
+                rows[-q:].mean(),  # bottom quarter
+                rows[hh // 2 - q // 2 : hh // 2 + q // 2 + 1].mean(),  # mid band
+                (s4 < 0.16).mean(),
+                s4.std(),
+            ]
+        )
+
+    names = CLASS_GROUPS["postal"]
+    X, y = [], []
+    for ci, name in enumerate(names):
+        for inst in range(6):
+            rng = np.random.default_rng(2000 + inst)
+            for (w, h) in [(56, 16), (80, 20), (104, 24)]:
+                X.append(feats(_render_barcode(rng, w, h, "postal", name)))
+                y.append(ci)
+    X, y = np.stack(X), np.array(y)
+    correct = 0
+    for i in range(len(X)):
+        cents = np.stack(
+            [
+                X[(y == c) & (np.arange(len(X)) != i)].mean(0)
+                for c in range(len(names))
+            ]
+        )
+        correct += int(np.argmin(np.linalg.norm(cents - X[i], axis=1)) == y[i])
+    acc = correct / len(X)
+    assert acc >= 0.9, f"postal texture separability degraded: {acc:.2f}"
