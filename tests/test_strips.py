@@ -1,0 +1,69 @@
+"""Strip-tiled trunk (ops/strips.py): reassembled logits must equal the
+whole-image forward exactly — same receptive-field contract as the
+multi-chip halo exchange, here within one chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ubdvss_tpu.models.model import get_model, init_params
+from ubdvss_tpu.net_config import NetConfig
+from ubdvss_tpu.ops.strips import auto_n_strips, strip_plan, strip_tiled_logits
+from ubdvss_tpu.parallel.tiling import receptive_field_halo
+
+CPU = jax.devices("cpu")[0]
+
+
+def test_strip_plan_covers_and_aligns():
+    H, scale, halo, S = 2048, 4, 140, 4
+    plan = strip_plan(H, scale, halo, S)
+    hs, win = H // S, H // S + 2 * halo
+    for s, (start, off) in enumerate(plan):
+        assert start % scale == 0 and off % scale == 0
+        assert 0 <= start <= H - win
+        assert start + off == s * hs  # core lands at its true position
+        assert off + hs <= win  # core fits in the window
+    assert plan[0] == (0, 0)  # top edge clamped to the real boundary
+    assert plan[-1][0] == H - win  # bottom edge clamped
+
+
+def test_auto_n_strips():
+    assert auto_n_strips(2048, 4, 140) == 4
+    assert auto_n_strips(1024, 4, 140) == 2
+    assert auto_n_strips(512, 4, 140) == 1  # window would exceed the image
+
+
+@pytest.mark.parametrize("separable", [True, False])
+def test_strip_tiled_logits_match_full(separable):
+    with jax.default_device(CPU):
+        cfg = NetConfig(dilations=(1, 2), separable_context=separable)
+        halo = receptive_field_halo(cfg)  # 4 * (3 + 2) = 20
+        params = init_params(cfg, 0)
+        model = get_model(cfg)
+        trunk = lambda s: model.apply({"params": params}, s)
+        # content everywhere incl. hard edges so boundary semantics are
+        # exercised (SAME zero-padding at the true image edge)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 128, 64, 1)).astype(np.float32))
+        full = trunk(x)
+        tiled = strip_tiled_logits(trunk, x, cfg.scale, halo, 2)
+        assert tiled.shape == full.shape
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
+
+
+def test_detect_preprocessed_batch_strips_match():
+    from ubdvss_tpu.inference import detect_preprocessed_batch
+
+    with jax.default_device(CPU):
+        cfg = NetConfig(dilations=(1, 2))
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 64, 1)).astype(np.float32))
+        res1, log1 = detect_preprocessed_batch(params, x, cfg, fused=False)
+        res2, log2 = detect_preprocessed_batch(
+            params, x, cfg, fused=False, n_strips=2
+        )
+        np.testing.assert_allclose(np.asarray(log2), np.asarray(log1), atol=1e-5)
+        for k in res1:
+            np.testing.assert_array_equal(np.asarray(res1[k]), np.asarray(res2[k]))

@@ -62,6 +62,20 @@ def detect_program(
     return res, logits
 
 
+def _auto_strips(cfg: NetConfig, out_hw: tuple[int, int], n_strips: int | None) -> int:
+    """Strip count for the large-scan trunk (ops/strips.py): auto-tiles
+    2048px+ scans into ~512-row-core strips so every conv runs in XLA's
+    fast small-spatial regime; 1 = whole-image."""
+    if n_strips is not None:
+        return n_strips
+    if out_hw[0] < 2048:
+        return 1
+    from ubdvss_tpu.ops.strips import auto_n_strips
+    from ubdvss_tpu.parallel.tiling import receptive_field_halo
+
+    return auto_n_strips(out_hw[0], cfg.scale, receptive_field_halo(cfg))
+
+
 def detect_program_batch(
     params,
     imgs,
@@ -69,13 +83,15 @@ def detect_program_batch(
     out_hw: tuple[int, int],
     channel_order: str = "rgb",
     fused: bool | None = None,
+    n_strips: int | None = None,
 ):
     """Batched pipeline: (B, H, W[, C]) images -> batched detection tensors.
 
     ``fused`` selects the production TPU path (Pallas CCL kernel + top-k
     compaction, channel-less preprocessing to avoid C=1 layouts); None
     auto-selects it on TPU backends.  Both paths are semantically identical
-    (tests/test_pallas_ccl.py).
+    (tests/test_pallas_ccl.py).  ``n_strips`` overrides the strip-tiled
+    trunk for large scans (None = auto, 1 = off; ops/strips.py).
     """
     if fused is None:
         fused = _default_device_is_tpu()
@@ -86,11 +102,14 @@ def detect_program_batch(
     # (>4096px scans) fall back to the XLA path or parallel.tiling.
     if max(out_hw) // cfg.scale > 512:
         fused = False
-    return _detect_program_batch(params, imgs, cfg, out_hw, channel_order, fused)
+    return _detect_program_batch(
+        params, imgs, cfg, out_hw, channel_order, fused,
+        _auto_strips(cfg, out_hw, n_strips),
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "out_hw", "channel_order", "fused")
+    jax.jit, static_argnames=("cfg", "out_hw", "channel_order", "fused", "n_strips")
 )
 def _detect_program_batch(
     params,
@@ -99,6 +118,7 @@ def _detect_program_batch(
     out_hw: tuple[int, int],
     channel_order: str,
     fused: bool,
+    n_strips: int = 1,
 ):
     from ubdvss_tpu.ops.postproc import postprocess_batch_fused
     from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
@@ -117,11 +137,20 @@ def _detect_program_batch(
         if cfg.separable_context:
             from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
 
-            logits = fused_model_apply(params, x[..., None], cfg, raw_gray=raw)
+            trunk = lambda s: fused_model_apply(params, s, cfg, raw_gray=raw)
         else:
             if raw:
                 x = normalize(x)
-            logits = get_model(cfg).apply({"params": params}, x[..., None])
+            trunk = lambda s: get_model(cfg).apply({"params": params}, s)
+        if n_strips > 1:
+            from ubdvss_tpu.ops.strips import strip_tiled_logits
+            from ubdvss_tpu.parallel.tiling import receptive_field_halo
+
+            logits = strip_tiled_logits(
+                trunk, x[..., None], cfg.scale, receptive_field_halo(cfg), n_strips
+            )
+        else:
+            logits = trunk(x[..., None])
         return postprocess_batch_fused(logits, cfg), logits
 
     def one(img):
@@ -137,6 +166,7 @@ def detect_preprocessed_batch(
     x,
     cfg: NetConfig,
     fused: bool | None = None,
+    n_strips: int | None = None,
 ):
     """Detection over ALREADY-preprocessed images (the data pipeline's
     ``images`` contract: (B, H, W, 1) f32 normalized [-1, 1]).
@@ -150,19 +180,34 @@ def detect_preprocessed_batch(
         fused = _default_device_is_tpu()
     if max(x.shape[1], x.shape[2]) // cfg.scale > 512:
         fused = False
-    return _detect_preprocessed_batch(params, x, cfg, fused)
+    return _detect_preprocessed_batch(
+        params, x, cfg, fused, _auto_strips(cfg, x.shape[1:3], n_strips)
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fused"))
-def _detect_preprocessed_batch(params, x, cfg: NetConfig, fused: bool):
+@functools.partial(jax.jit, static_argnames=("cfg", "fused", "n_strips"))
+def _detect_preprocessed_batch(
+    params, x, cfg: NetConfig, fused: bool, n_strips: int = 1
+):
     from ubdvss_tpu.ops.postproc import postprocess_batch, postprocess_batch_fused
 
     if fused and cfg.separable_context:
         from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
 
-        logits = fused_model_apply(params, x, cfg)
+        trunk = lambda s: fused_model_apply(params, s, cfg)
+    else:
+        trunk = lambda s: get_model(cfg).apply({"params": params}, s)
+    if n_strips > 1:
+        from ubdvss_tpu.ops.strips import strip_tiled_logits
+        from ubdvss_tpu.parallel.tiling import receptive_field_halo
+
+        logits = strip_tiled_logits(
+            trunk, x, cfg.scale, receptive_field_halo(cfg), n_strips
+        )
+    else:
+        logits = trunk(x)
+    if fused and cfg.separable_context:
         return postprocess_batch_fused(logits, cfg), logits
-    logits = get_model(cfg).apply({"params": params}, x)
     return postprocess_batch(logits, cfg), logits
 
 
