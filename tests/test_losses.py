@@ -116,3 +116,32 @@ def test_pixel_metrics():
     assert m["pixel_recall"] == 0.5  # fn=1
     assert abs(m["pixel_f1"] - 0.5) < 1e-9
     assert m["pixel_accuracy"] == 0.5
+
+
+def test_bisect_matches_sort_mining():
+    """The sort-free bisection selection must equal the stable-sort top-k
+    formulation — random fields, tie-heavy fields (quantized logits give
+    many exactly-equal BCE values), no-positive and all-positive images."""
+    rng = np.random.default_rng(0)
+    cases = []
+    for _ in range(5):
+        logits = rng.normal(0, 3, (24, 24)).astype(np.float32)
+        pos = rng.random((24, 24)) < 0.1
+        cases.append((logits, pos))
+    # adversarial ties: logits drawn from 4 distinct values
+    qlogits = rng.choice(
+        np.array([-2.0, -0.5, 0.5, 2.0], np.float32), (24, 24)
+    )
+    cases.append((qlogits, rng.random((24, 24)) < 0.2))
+    cases.append((qlogits, np.zeros((24, 24), bool)))  # no positives
+    cases.append((qlogits, np.ones((24, 24), bool)))  # no negatives (k=0)
+    for logits, pos in cases:
+        a = float(
+            detection_loss_single(
+                jnp.asarray(logits), jnp.asarray(pos), 3.0, use_sort=True
+            )
+        )
+        b = float(
+            detection_loss_single(jnp.asarray(logits), jnp.asarray(pos), 3.0)
+        )
+        assert abs(a - b) < 1e-5, (a, b)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ubdvss_tpu.net_config import NetConfig
 
@@ -34,23 +35,62 @@ def sigmoid_bce_from_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     )
 
 
+def _top_k_sum_bisect(x: jax.Array, valid: jax.Array, k: jax.Array) -> jax.Array:
+    """Sum of the k largest ``x[valid]`` WITHOUT a sort.
+
+    The top-k SUM doesn't need the selection permutation: with t = the k-th
+    largest value, sum(top k) = sum(x > t) + (k - |{x > t}|) * t exactly,
+    for any tie-breaking rule (tied elements all equal t).  t is found by
+    31-round bisection on the f32 BIT PATTERN (monotone for x >= 0), i.e.
+    31 vectorized count-reductions instead of an O(n log^2 n) XLA sort.
+    Requires x >= 0 (BCE losses are).
+    k may be 0 (returns 0).  Exact same selection as the stable-sort
+    formulation (tests/test_losses.py::test_bisect_matches_sort_mining).
+    """
+    xb = jnp.where(valid, lax.bitcast_convert_type(x, jnp.int32), -1)
+
+    def body(_, state):
+        lo, hi = state
+        mid = lo + (hi - lo) // 2  # lo+hi would overflow int32
+        ge = jnp.sum(xb >= mid)
+        return jnp.where(ge >= k, mid, lo), jnp.where(ge >= k, hi, mid)
+
+    # invariant: count(>= lo) >= k, count(>= hi) < k  (hi = +inf pattern)
+    lo, _ = lax.fori_loop(
+        0, 31, body, (jnp.int32(0), jnp.int32(0x7F800000))
+    )
+    t = lax.bitcast_convert_type(lo, jnp.float32)
+    gt = valid & (x > t)
+    n_gt = jnp.sum(gt)
+    s = jnp.sum(jnp.where(gt, x, 0.0)) + (k - n_gt).astype(jnp.float32) * t
+    return jnp.where(k > 0, s, 0.0)
+
+
 def detection_loss_single(
-    det_logits: jax.Array, pos_mask: jax.Array, ratio: float
+    det_logits: jax.Array, pos_mask: jax.Array, ratio: float,
+    use_sort: bool = False,
 ) -> jax.Array:
-    """One image: (Ho, Wo) logits + bool positives -> scalar mined BCE."""
+    """One image: (Ho, Wo) logits + bool positives -> scalar mined BCE.
+
+    ``use_sort`` selects the original stable-sort top-k formulation (kept
+    as the reference/oracle); default is the sort-free bisection selection
+    (identical sums, see _top_k_sum_bisect)."""
     px = sigmoid_bce_from_logits(det_logits, pos_mask.astype(jnp.float32))
     flat = px.reshape(-1)
     pos = pos_mask.reshape(-1)
     n_pos = jnp.sum(pos)
     pos_sum = jnp.sum(jnp.where(pos, flat, 0.0))
-    # hardest negatives: sort candidate negative losses descending
-    neg_losses = jnp.where(pos, -jnp.inf, flat)
-    neg_sorted = -jnp.sort(-neg_losses)  # descending, stable
     k = jnp.maximum(n_pos * ratio, ratio).astype(jnp.int32)
     n_neg_avail = flat.shape[0] - n_pos
     k = jnp.minimum(k, n_neg_avail)
-    rank = jnp.arange(flat.shape[0])
-    neg_sum = jnp.sum(jnp.where(rank < k, neg_sorted, 0.0))
+    if use_sort:
+        # hardest negatives: sort candidate negative losses descending
+        neg_losses = jnp.where(pos, -jnp.inf, flat)
+        neg_sorted = -jnp.sort(-neg_losses)  # descending, stable
+        rank = jnp.arange(flat.shape[0])
+        neg_sum = jnp.sum(jnp.where(rank < k, neg_sorted, 0.0))
+    else:
+        neg_sum = _top_k_sum_bisect(flat, ~pos, k)
     denom = jnp.maximum(n_pos + k, 1).astype(jnp.float32)
     return (pos_sum + neg_sum) / denom
 
