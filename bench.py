@@ -35,6 +35,9 @@ def main():
     p.add_argument("--mode", default="infer", choices=["infer", "train"],
                    help="train = jitted train-step throughput (fwd+bwd+adam)")
     p.add_argument("--max-components", type=int, default=16)
+    p.add_argument("--strips", type=int, default=None,
+                   help="strip-tiled trunk override for large scans "
+                        "(ops/strips.py; None=auto, 1=off)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the timed region "
                         "(perfetto dump, SURVEY.md §5 tracing) into DIR")
@@ -99,23 +102,35 @@ def main():
     if args.postproc == "on":
         @jax.jit
         def run(imgs):
-            res, _ = detect_program_batch(params, imgs, cfg, (S, S), fused=True)
+            res, _ = detect_program_batch(
+                params, imgs, cfg, (S, S), fused=True, n_strips=args.strips
+            )
             return (
                 jnp.sum(res["boxes"])
                 + jnp.sum(res["scores"])
                 + jnp.sum(res["valid"])
             )
     else:
+        from ubdvss_tpu.inference import _auto_strips
         from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
+        from ubdvss_tpu.ops.strips import strip_tiled_logits
+        from ubdvss_tpu.parallel.tiling import receptive_field_halo
+
+        ns = _auto_strips(cfg, (S, S), args.strips)
 
         @jax.jit
         def run(imgs):
             # same fused preproc+FCN route as the e2e path (the old
             # get_model+vmap formulation compiled for tens of minutes at
             # B=256), postprocessing skipped
-            logits = fused_model_apply(
-                params, imgs.astype(jnp.float32)[..., None], cfg, raw_gray=True
-            )
+            x = imgs.astype(jnp.float32)[..., None]
+            trunk = lambda s: fused_model_apply(params, s, cfg, raw_gray=True)
+            if ns > 1:
+                logits = strip_tiled_logits(
+                    trunk, x, cfg.scale, receptive_field_halo(cfg), ns
+                )
+            else:
+                logits = trunk(x)
             return jnp.sum(logits)
 
     # warmup / compile
