@@ -111,12 +111,17 @@ def main():
                 + jnp.sum(res["valid"])
             )
     else:
-        from ubdvss_tpu.inference import _auto_strips
+        from ubdvss_tpu.inference import _auto_strips, _auto_two_stage
         from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
-        from ubdvss_tpu.ops.strips import strip_tiled_logits
+        from ubdvss_tpu.ops.strips import (
+            auto_two_stage_grids,
+            strip_tiled_logits,
+            two_stage_tiled_trunk,
+        )
         from ubdvss_tpu.parallel.tiling import receptive_field_halo
 
         ns = _auto_strips(cfg, (S, S), args.strips)
+        ts = _auto_two_stage(cfg, (S, S), args.strips, fused=True)
 
         @jax.jit
         def run(imgs):
@@ -125,7 +130,21 @@ def main():
             # B=256), postprocessing skipped
             x = imgs.astype(jnp.float32)[..., None]
             trunk = lambda s: fused_model_apply(params, s, cfg, raw_gray=True)
-            if ns > 1:
+            if ts:
+                from ubdvss_tpu.ops.pallas.context_kernel import (
+                    packed_fused_trunk,
+                    packed_trunk_selected,
+                )
+
+                if packed_trunk_selected(cfg, (S, S)):
+                    # sum of packed logits == sum of logits (rearrangement)
+                    logits = packed_fused_trunk(params, x, cfg, raw_gray=True)
+                else:
+                    sg, cg = auto_two_stage_grids(S, S, cfg.scale, cfg.dilations)
+                    logits = two_stage_tiled_trunk(
+                        params, x, cfg, sg, cg, raw_gray=True
+                    )
+            elif ns > 1:
                 logits = strip_tiled_logits(
                     trunk, x, cfg.scale, receptive_field_halo(cfg), ns
                 )

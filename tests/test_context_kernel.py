@@ -119,6 +119,87 @@ def test_dense_context_head_matches_reference():
     )
 
 
+def test_s2d_context_head_matches_dense():
+    """The space-to-depth large-map route (2x2 pixels packed into channels,
+    block-diagonal / cross-phase packed kernels) is the same math as
+    dense_context_head — exact construction per _pack_s2d_kernel, checked
+    against the dense path at HIGHEST precision, odd sizes falling back."""
+    from ubdvss_tpu.ops.pallas.context_kernel import (
+        _pack_weights,
+        dense_context_head,
+        s2d_context_head,
+    )
+    from jax import lax
+
+    cfg = NetConfig()  # full dilation schedule (1, 1, 2, 4, 8, 16, 1)
+    params = init_params(cfg, 3)
+    w = _pack_weights(params, tuple(cfg.dilations))
+    rng = np.random.default_rng(6)
+    for hw in [(40, 48), (64, 64), (41, 48)]:  # odd H exercises the fallback
+        x = jnp.asarray(
+            rng.normal(0, 1, (2, *hw, cfg.channels)).astype(np.float32)
+        )
+        ref = dense_context_head(
+            x, *w, tuple(cfg.dilations), precision=lax.Precision.HIGHEST
+        )
+        out = s2d_context_head(
+            x, *w, tuple(cfg.dilations), precision=lax.Precision.HIGHEST
+        )
+        tol = 1e-5 if jax.default_backend() == "cpu" else 3e-3
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=tol, err_msg=f"hw={hw}"
+        )
+
+
+@pytest.mark.parametrize("raw_gray", [False, True])
+def test_packed_stem_matches(raw_gray):
+    """packed_stem_apply == _s2d(stem_apply(...)): the s=2-packed stride-2
+    convs (_pack_stride2_kernel) are the same math including SAME-padding
+    borders and the raw-gray normalization fold."""
+    from ubdvss_tpu.ops.pallas.context_kernel import (
+        _s2d,
+        packed_stem_apply,
+        stem_apply,
+    )
+
+    cfg = NetConfig(dilations=(1, 2))
+    params = init_params(cfg, 4)
+    rng = np.random.default_rng(8)
+    lo, hi = (0.0, 255.0) if raw_gray else (-1.0, 1.0)
+    x = jnp.asarray(rng.uniform(lo, hi, (2, 64, 48, 1)).astype(np.float32))
+    ref = _s2d(stem_apply(params, x, cfg, raw_gray=raw_gray, large=False))
+    got = packed_stem_apply(params, x, cfg, raw_gray=raw_gray, large=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_trunk_matches():
+    """packed_fused_trunk (whole trunk in s=2-packed layout) unpacks to the
+    same logits as fused_model_apply."""
+    from ubdvss_tpu.ops.pallas.context_kernel import (
+        _d2s,
+        fused_model_apply,
+        packed_fused_trunk,
+    )
+
+    cfg = NetConfig()  # full dilation schedule
+    params = init_params(cfg, 5)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 1)).astype(np.float32))
+    ref = fused_model_apply(params, x, cfg, raw_gray=True)
+    packed = packed_fused_trunk(params, x, cfg, raw_gray=True)
+    got = _d2s(packed, packed.shape[-1] // 4)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_pack_s2d_kernel_rejects_odd_dilation():
+    from ubdvss_tpu.ops.pallas.context_kernel import _pack_s2d_kernel
+
+    k = jnp.zeros((3, 3, 4, 4))
+    with pytest.raises(ValueError):
+        _pack_s2d_kernel(k, 3)
+
+
 @pytest.mark.slow
 def test_dense_path_detections_match():
     """The >128^2-feature route (dense convs + DEFAULT-precision stem) must

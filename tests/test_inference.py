@@ -93,3 +93,38 @@ def test_pretrained_assets_load_and_detect():
         assert param_count(params) > 40_000 if not cfg.separable_context else True
         res, _ = detect_program_batch(params, img[None], cfg, (256, 256), fused=False)
         assert int(res["num_detections"][0]) >= 1, fname
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_packed_trunk_detections_match_tpu():
+    """2048px auto route (fully packed trunk + packed postprocessing) must
+    produce the same detections as the whole-image fused path (n_strips=1
+    forces it).  f32 so both routes share the dense/DEFAULT numerics tier."""
+    import jax
+    import jax.numpy as jnp
+
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.utils.checkpoint import load_params_npz
+    import os
+
+    cfg = NetConfig(max_components=32, dtype="float32")
+    params = load_params_npz(
+        os.path.join(os.path.dirname(__file__), "..", "assets",
+                     "pretrained_synthetic.npz"),
+        init_params(cfg, 0),
+    )
+    reader = SyntheticMarkupReader(n_samples=2, image_hw=(2048, 2048), seed=11)
+    imgs = jnp.stack(
+        [jnp.asarray(reader.sample_at(i).image) for i in range(2)]
+    )
+    res_a, _ = detect_program_batch(params, imgs, cfg, (2048, 2048), fused=True)
+    res_b, _ = detect_program_batch(
+        params, imgs, cfg, (2048, 2048), fused=True, n_strips=1
+    )
+    res_a, res_b = jax.device_get((res_a, res_b))
+    np.testing.assert_array_equal(res_a["valid"], res_b["valid"])
+    np.testing.assert_array_equal(res_a["areas"], res_b["areas"])
+    np.testing.assert_array_equal(res_a["classes"], res_b["classes"])
+    np.testing.assert_allclose(res_a["boxes"], res_b["boxes"], atol=1e-2)
+    np.testing.assert_allclose(res_a["scores"], res_b["scores"], atol=1e-4)

@@ -87,6 +87,34 @@ def test_fused_postprocess_matches_reference_path():
     np.testing.assert_array_equal(rf["num_detections"], rx["num_detections"])
 
 
+def test_fused_postprocess_packed_phases_matches():
+    """packed_phases=(2, 2): space-to-depth-packed logits (the s2d context
+    route's native layout) must yield the same detections as unpacked —
+    the geometry kernel sees the same det map, and the per-component sums
+    are pixel-order invariant."""
+    from ubdvss_tpu.ops.pallas.context_kernel import _s2d
+
+    cfg = NetConfig(
+        class_names=("a", "b", "c", "d"), max_components=8, min_component_area=3
+    )
+    logits = _blob_logits(5)
+    packed = _s2d(logits)
+    rf = jax.device_get(postprocess_batch_fused(logits, cfg, interpret=True))
+    rp = jax.device_get(
+        postprocess_batch_fused(packed, cfg, interpret=True, packed_phases=(2, 2))
+    )
+    np.testing.assert_array_equal(rp["valid"], rf["valid"])
+    np.testing.assert_array_equal(rp["areas"], rf["areas"])
+    np.testing.assert_array_equal(rp["classes"], rf["classes"])
+    np.testing.assert_allclose(rp["scores"], rf["scores"], atol=1e-6)
+    np.testing.assert_allclose(rp["class_probs"], rf["class_probs"], atol=1e-6)
+    np.testing.assert_allclose(rp["boxes"], rf["boxes"], atol=1e-4)
+    np.testing.assert_array_equal(rp["num_detections"], rf["num_detections"])
+    np.testing.assert_array_equal(
+        rp["num_components_total"], rf["num_components_total"]
+    )
+
+
 @pytest.mark.tpu
 def test_kernel_native_tpu():
     logits = _blob_logits(3, H=64, W=64)

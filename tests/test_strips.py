@@ -52,6 +52,60 @@ def test_strip_tiled_logits_match_full(separable):
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
 
 
+def test_tile_2d_logits_match_full():
+    from ubdvss_tpu.ops.strips import tile_2d_logits
+
+    with jax.default_device(CPU):
+        cfg = NetConfig(dilations=(1, 2))
+        halo = receptive_field_halo(cfg)
+        params = init_params(cfg, 0)
+        model = get_model(cfg)
+        trunk = lambda s: model.apply({"params": params}, s)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 160, 128, 1)).astype(np.float32))
+        full = trunk(x)
+        for grid in [(2, 1), (1, 2), (2, 2)]:
+            tiled = tile_2d_logits(trunk, x, cfg.scale, halo, grid)
+            assert tiled.shape == full.shape
+            np.testing.assert_allclose(
+                np.asarray(tiled), np.asarray(full), atol=1e-5,
+                err_msg=f"grid={grid}",
+            )
+
+
+@pytest.mark.parametrize("raw_gray", [False, True])
+def test_two_stage_tiled_trunk_matches_fused(raw_gray):
+    """Per-stage 2-D tiling (stem halo 4, context halo sum(dilations)) must
+    reproduce the untiled fused forward exactly, including clamped edge
+    tiles and the raw-gray normalization fold."""
+    from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
+    from ubdvss_tpu.ops.strips import two_stage_tiled_trunk
+
+    with jax.default_device(CPU):
+        cfg = NetConfig(dilations=(1, 2))
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(3)
+        lo, hi = (0.0, 255.0) if raw_gray else (-1.0, 1.0)
+        x = jnp.asarray(rng.uniform(lo, hi, (2, 128, 64, 1)).astype(np.float32))
+        full = fused_model_apply(params, x, cfg, raw_gray=raw_gray)
+        tiled = two_stage_tiled_trunk(
+            params, x, cfg, (2, 2), (2, 2), raw_gray=raw_gray
+        )
+        assert tiled.shape == full.shape
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
+
+
+def test_auto_two_stage_grids():
+    from ubdvss_tpu.ops.strips import auto_two_stage_grids
+
+    dil = (1, 1, 2, 4, 8, 16, 1)
+    stem_grid, ctx_grid = auto_two_stage_grids(2048, 2048, 4, dil)
+    assert stem_grid == (4, 1)  # row strips only (column tiling measured slower)
+    assert ctx_grid == (1, 1)  # context handled by the s2d route, not tiling
+    # small images don't tile
+    assert auto_two_stage_grids(256, 256, 4, dil) == ((1, 1), (1, 1))
+
+
 def test_detect_preprocessed_batch_strips_match():
     from ubdvss_tpu.inference import detect_preprocessed_batch
 

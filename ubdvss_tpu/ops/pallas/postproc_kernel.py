@@ -207,6 +207,7 @@ def component_stats_from_logits(
     connectivity: int = 8,
     max_iters: int | None = None,
     interpret: bool = False,
+    packed_phases: tuple[int, int] | None = None,
 ) -> dict:
     """(B, H, W, C) logits -> per-component stats.
 
@@ -214,27 +215,61 @@ def component_stats_from_logits(
     [areas, det-prob sums, class-prob sums].  Returns dict with (B, K)
     rootvals/areas/det_sums, (B, K, n_cls) cls_sums (dummy 1-col when
     detection-only) and (B, K, H) minx/maxx.  Padding roots == H*W.
+
+    ``packed_phases=(py, px)``: logits arrive space-to-depth packed as
+    (B, H/py, W/px, py*px*C), phase-major (context_kernel._s2d ordering,
+    the large-scan s2d context route's native output).  Only the
+    1-channel detection map is unpacked for the geometry kernel (the CCL
+    needs true 2-D adjacency); the per-component sums are pixel-order
+    invariant, so sigmoid/softmax/one-hot/einsum all run in the packed
+    layout and the slot map is packed to match.  This avoids the
+    full-tensor depth-to-space + the layout-conversion copies XLA inserts
+    between a transposed tensor and the Pallas operand (measured ~20
+    ms/batch at 2048px on v5e).
     """
-    B, H, W, C = logits.shape
     K = max_components
+    if packed_phases is None:
+        B, H, W, C = logits.shape
+        lg32 = logits.astype(jnp.float32)
+        det_full = lg32[..., 0]
+    else:
+        py, px = packed_phases
+        B, Hh, Wh, CP = logits.shape
+        C = CP // (py * px)
+        H, W = Hh * py, Wh * px
+        # (B, Hh, Wh, py, px, C): phase-major channel split is a reshape
+        lg32 = logits.astype(jnp.float32).reshape(B, Hh, Wh, py, px, C)
+        det_full = (
+            lg32[..., 0]
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, H, W)
+        )
     n_cls = C - 1
-    lg32 = logits.astype(jnp.float32)
     geo = component_slots_from_logits(
-        lg32[..., 0],
+        det_full,
         max_components=K,
         threshold=threshold,
         connectivity=connectivity,
         max_iters=max_iters,
         interpret=interpret,
     )
+    if packed_phases is None:
+        slots = geo["slots"]
+    else:
+        # pack the slot map to align with the packed features
+        slots = (
+            geo["slots"]
+            .reshape(B, Hh, py, Wh, px)
+            .transpose(0, 1, 3, 2, 4)
+        )  # (B, Hh, Wh, py, px)
     det_prob = jax.nn.sigmoid(lg32[..., 0])
     parts = [jnp.ones_like(det_prob)[..., None], det_prob[..., None]]
     if n_cls > 0:
         parts.append(jax.nn.softmax(lg32[..., 1:], axis=-1))
-    feats = jnp.concatenate(parts, axis=-1)  # (B, H, W, 2 + n_cls)
-    onehot = jax.nn.one_hot(geo["slots"], K, dtype=jnp.float32)  # bg -> zeros
+    feats = jnp.concatenate(parts, axis=-1)  # (..., 2 + n_cls)
+    onehot = jax.nn.one_hot(slots, K, dtype=jnp.float32)  # bg -> zeros
     sums = jnp.einsum(
-        "bhwk,bhwf->bkf",
+        "bhwk,bhwf->bkf" if packed_phases is None else "bhwyxk,bhwyxf->bkf",
         onehot,
         feats,
         precision=jax.lax.Precision.HIGHEST,

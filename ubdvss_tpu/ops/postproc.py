@@ -120,13 +120,15 @@ def finish_postprocess(logits: jax.Array, labels: jax.Array, cfg: NetConfig) -> 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "connectivity", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "connectivity", "interpret", "packed_phases"),
 )
 def postprocess_batch_fused(
     logits: jax.Array,
     cfg: NetConfig,
     connectivity: int = 8,
     interpret: bool = False,
+    packed_phases: tuple[int, int] | None = None,
 ) -> dict:
     """Fast batched path: the Pallas postprocessing mega-kernel
     (threshold → CCL → roots → per-component stats in VMEM, see
@@ -135,11 +137,18 @@ def postprocess_batch_fused(
 
     Semantically identical to ``postprocess_batch`` (asserted in
     tests/test_pallas_ccl.py); ``interpret`` runs the kernel in the Pallas
-    interpreter for CPU use.
+    interpreter for CPU use.  ``packed_phases=(py, px)``: logits arrive
+    space-to-depth packed (B, Ho/py, Wo/px, py*px*C) phase-major straight
+    from the s2d context route — see component_stats_from_logits.
     """
     from ubdvss_tpu.ops.pallas.postproc_kernel import component_stats_from_logits
 
-    Ho, Wo = logits.shape[1], logits.shape[2]
+    if packed_phases is None:
+        Ho, Wo, C = logits.shape[1], logits.shape[2], logits.shape[3]
+    else:
+        py, px = packed_phases
+        Ho, Wo = logits.shape[1] * py, logits.shape[2] * px
+        C = logits.shape[3] // (py * px)
     K = cfg.max_components
     stats = component_stats_from_logits(
         logits,
@@ -147,6 +156,7 @@ def postprocess_batch_fused(
         threshold=cfg.detection_threshold,
         connectivity=connectivity,
         interpret=interpret,
+        packed_phases=packed_phases,
     )
     root_valid = stats["rootvals"] < Ho * Wo  # (B, K)
     # padded root slots (rootvals == sentinel) matched background pixels in
@@ -156,7 +166,7 @@ def postprocess_batch_fused(
     valid = root_valid & (areas >= cfg.min_component_area)
     safe_area = jnp.maximum(areas, 1).astype(jnp.float32)
     scores = jnp.where(root_valid, stats["det_sums"], 0.0) / safe_area
-    if cfg.classification and logits.shape[-1] > 1:
+    if cfg.classification and C > 1:
         class_probs = (
             jnp.where(root_valid[..., None], stats["cls_sums"], 0.0)
             / safe_area[..., None]

@@ -58,31 +58,131 @@ def strip_tiled_logits(
     scale: int,
     halo: int,
     n_strips: int,
+    axis: int = 1,
 ):
-    """Run ``trunk`` ((B', h, W[, C]) images -> (B', h/scale, W/scale, O)
-    logits, SAME padding) over row strips of ``x`` and reassemble logits
-    identical to ``trunk(x)``.
+    """Run ``trunk`` ((B', h, w[, C]) images -> (B', h/scale, w/scale, O)
+    logits, SAME padding) over strips of ``x`` along ``axis`` (1 = rows,
+    2 = columns) and reassemble logits identical to ``trunk(x)``.
 
-    ``x``: (B, H, W) or (B, H, W, C); H divisible by n_strips*scale.
+    ``x``: (B, H, W) or (B, H, W, C); size along ``axis`` divisible by
+    n_strips*scale.
     """
-    B, H = x.shape[0], x.shape[1]
+    B, H = x.shape[0], x.shape[axis]
     plan = strip_plan(H, scale, halo, n_strips)
     hs = H // n_strips
     win = hs + 2 * halo
     strips = jnp.concatenate(
-        [lax.slice_in_dim(x, st, st + win, axis=1) for st, _ in plan], axis=0
+        [lax.slice_in_dim(x, st, st + win, axis=axis) for st, _ in plan],
+        axis=0,
     )
-    y = trunk(strips)  # (S*B, win/scale, W/scale, O)
+    y = trunk(strips)  # (S*B, ..., win/scale, ..., O)
     cores = [
         lax.slice_in_dim(
             lax.slice_in_dim(y, s * B, (s + 1) * B, axis=0),
             off // scale,
             off // scale + hs // scale,
-            axis=1,
+            axis=axis,
         )
         for s, (_, off) in enumerate(plan)
     ]
-    return jnp.concatenate(cores, axis=1)
+    return jnp.concatenate(cores, axis=axis)
+
+
+def tile_2d_logits(trunk: Callable, x, scale: int, halo: int, grid):
+    """2-D composition of ``strip_tiled_logits``: ``grid = (ny, nx)`` tiles
+    over rows x columns.  Each tile window carries the same ``halo`` on
+    every side, so the reassembly equals ``trunk(x)`` by the receptive-field
+    argument applied per axis."""
+    ny, nx = grid
+    fn = (
+        (lambda s: strip_tiled_logits(trunk, s, scale, halo, nx, axis=2))
+        if nx > 1
+        else trunk
+    )
+    if ny > 1:
+        return strip_tiled_logits(fn, x, scale, halo, ny, axis=1)
+    return fn(x)
+
+
+# Receptive-field radii of the FCN's two stages.  The two stride-2 3x3
+# downscale convs reach 1 + 2 = 3 input pixels per side; each 3x3 context
+# conv at dilation d reaches d FEATURE pixels per side (the 1x1 head adds
+# none).  Tiling the stages SEPARATELY is what makes large-scan tiling
+# cheap: one trunk-wide halo is ~140 input px (receptive_field_halo), i.e.
+# 2.4x redundant pixels at 512px tiles, while per-stage halos cost only
+# ~6% (stem) + ~2.3x-on-1/16-the-pixels (context).
+
+
+def stem_halo(scale: int) -> int:
+    """Input-px halo covering the downscale stem, rounded up to scale."""
+    return scale * -(-3 // scale)
+
+
+def context_halo(dilations) -> int:
+    """Feature-px halo covering the dilated context stack + head."""
+    return sum(dilations)
+
+
+def auto_two_stage_grids(
+    H: int,
+    W: int,
+    scale: int,
+    dilations,
+    stem_core: int = 512,
+):
+    """(stem_grid, ctx_grid) for ``two_stage_tiled_trunk``.
+
+    Measured on v5e (2048px, B=16, bf16): column tiling and context
+    tiling LOSE — the slice/concat data movement degrades the adjacent
+    convs more than small maps help (stem 2-D tiles 27.6 ms vs row strips
+    17.1 ms; context any-grid 37-47 ms vs 23.4 ms untiled s2d route).  So
+    the auto plan is row-only stem strips at ~512-row cores, and NO
+    context tiling — context_head_route handles large maps with the
+    space-to-depth formulation instead (context_kernel.s2d_context_head).
+    """
+    sh = stem_halo(scale)
+    stem_grid = (auto_n_strips(H, scale, sh, stem_core), 1)
+    return stem_grid, (1, 1)
+
+
+def two_stage_tiled_trunk(
+    params, x4, cfg, stem_grid, ctx_grid, raw_gray: bool = False,
+    return_packed: bool = False,
+):
+    """Large-scan FCN forward with PER-STAGE 2-D tiling — exact logits.
+
+    Measured on v5e at 2048x2048 (B=16, bf16): the whole-image context
+    module runs at ~3% MXU utilization (44 ms/batch) because XLA's conv
+    emitter degrades on large spatial maps, while the SAME pixel count as
+    128x128 maps takes 4.5 ms; row-only strips don't recover it (width
+    stays large).  Tiling rows AND columns per stage — stem at ~512px
+    cores with a 4px halo, context at ~128px feature cores with a
+    sum(dilations) halo — keeps every conv in the fast small-spatial
+    regime at ~6% / ~2.3x-redundancy cost respectively, instead of the
+    2.4x a single trunk-wide 140px halo would cost.
+
+    ``x4``: (B, H, W, 1) images (raw [0,255] gray when ``raw_gray``, else
+    normalized).  Returns (B, H/scale, W/scale, O) logits equal to the
+    untiled ``fused_model_apply`` (tests/test_strips.py).
+    """
+    from ubdvss_tpu.ops.pallas.context_kernel import (
+        context_head_route,
+        context_head_route_maybe_packed,
+        stem_apply,
+    )
+
+    # precision/route decisions follow the WHOLE image, not the tile, so
+    # tiled and untiled programs are numerically identical
+    large = (x4.shape[1] // cfg.scale) * (x4.shape[2] // cfg.scale) > 128 * 128
+    stem = lambda s: stem_apply(params, s, cfg, raw_gray=raw_gray, large=large)
+    feat = tile_2d_logits(stem, x4, cfg.scale, stem_halo(cfg.scale), stem_grid)
+    if return_packed and ctx_grid == (1, 1):
+        # hand the s2d route's logits to packed-aware postprocessing
+        # without the depth-to-space (see context_head_route_maybe_packed)
+        return context_head_route_maybe_packed(params, feat, cfg, large=large)
+    ctx = lambda f: context_head_route(params, f, cfg, large=large)
+    logits = tile_2d_logits(ctx, feat, 1, context_halo(cfg.dilations), ctx_grid)
+    return (logits, None) if return_packed else logits
 
 
 def auto_n_strips(H: int, scale: int, halo: int, target_core: int = 512) -> int:
