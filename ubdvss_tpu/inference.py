@@ -83,7 +83,7 @@ def _auto_two_stage(
         n_strips is None
         and fused
         and cfg.separable_context
-        and max(out_hw) >= 2048
+        and max(out_hw) >= 1024
     )
 
 

@@ -570,14 +570,18 @@ def _s2d_route_selected(cfg, Hf, Wf, large, interpret=False) -> bool:
 def packed_trunk_selected(cfg, out_hw) -> bool:
     """True when the whole trunk can run in s=2-packed layout (the fastest
     large-scan formulation): scale-4 separable architecture, dims divisible
-    by 8, and the s2d context route selected at the feature size."""
+    by 8, s2d-compatible dilations, and feature maps at least 256x256
+    (measured on v5e: packed wins at 1024px+ inputs — 22.3 vs 23.7
+    ms/batch at 1024, 2x at 2048 — and loses below, 18.3 vs 13.0 at
+    512px)."""
     H, W = out_hw
     return (
         cfg.scale == 4
         and H % 8 == 0
         and W % 8 == 0
         and cfg.separable_context
-        and _s2d_route_selected(cfg, H // 4, W // 4, large=True)
+        and all(d == 1 or d % 2 == 0 for d in cfg.dilations)
+        and (H // 4) * (W // 4) >= 256 * 256
     )
 
 
