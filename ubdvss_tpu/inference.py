@@ -153,7 +153,13 @@ def _detect_program_batch(
         if cfg.separable_context:
             from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
 
-            trunk = lambda s: fused_model_apply(params, s, cfg, raw_gray=raw)
+            # act_out: postprocessing consumes the trunk's native-dtype
+            # logits (exact bf16 values in the perf route — the f32 view is
+            # a pure convert of them), so the full-resolution f32 logits
+            # materialization below is dead code unless the caller reads it
+            trunk = lambda s: fused_model_apply(
+                params, s, cfg, raw_gray=raw, act_out=True
+            )
         else:
             if raw:
                 x = normalize(x)
@@ -166,7 +172,7 @@ def _detect_program_batch(
 
             if packed_trunk_selected(cfg, (x.shape[1], x.shape[2])):
                 packed = packed_fused_trunk(
-                    params, x[..., None], cfg, raw_gray=raw
+                    params, x[..., None], cfg, raw_gray=raw, act_out=True
                 )
                 pp = (2, 2)
             else:
@@ -191,7 +197,7 @@ def _detect_program_batch(
                 logits = _d2s(packed, packed.shape[-1] // (pp[0] * pp[1]))
             else:
                 logits = packed
-            return res, logits
+            return res, logits.astype(jnp.float32)
         elif n_strips > 1:
             from ubdvss_tpu.ops.strips import strip_tiled_logits
             from ubdvss_tpu.parallel.tiling import receptive_field_halo
@@ -201,7 +207,7 @@ def _detect_program_batch(
             )
         else:
             logits = trunk(x[..., None])
-        return postprocess_batch_fused(logits, cfg), logits
+        return postprocess_batch_fused(logits, cfg), logits.astype(jnp.float32)
 
     def one(img):
         x = preprocess(img, out_hw, channel_order)
@@ -249,7 +255,7 @@ def _detect_preprocessed_batch(
     if fused and cfg.separable_context:
         from ubdvss_tpu.ops.pallas.context_kernel import fused_model_apply
 
-        trunk = lambda s: fused_model_apply(params, s, cfg)
+        trunk = lambda s: fused_model_apply(params, s, cfg, act_out=True)
     else:
         trunk = lambda s: get_model(cfg).apply({"params": params}, s)
     if two_stage:
@@ -259,7 +265,7 @@ def _detect_preprocessed_batch(
         )
 
         if packed_trunk_selected(cfg, (x.shape[1], x.shape[2])):
-            packed = packed_fused_trunk(params, x, cfg)
+            packed = packed_fused_trunk(params, x, cfg, act_out=True)
             pp = (2, 2)
         else:
             from ubdvss_tpu.ops.strips import (
@@ -280,7 +286,7 @@ def _detect_preprocessed_batch(
             logits = _d2s(packed, packed.shape[-1] // (pp[0] * pp[1]))
         else:
             logits = packed
-        return res, logits
+        return res, logits.astype(jnp.float32)
     elif n_strips > 1:
         from ubdvss_tpu.ops.strips import strip_tiled_logits
         from ubdvss_tpu.parallel.tiling import receptive_field_halo
@@ -291,7 +297,7 @@ def _detect_preprocessed_batch(
     else:
         logits = trunk(x)
     if fused and cfg.separable_context:
-        return postprocess_batch_fused(logits, cfg), logits
+        return postprocess_batch_fused(logits, cfg), logits.astype(jnp.float32)
     return postprocess_batch(logits, cfg), logits
 
 

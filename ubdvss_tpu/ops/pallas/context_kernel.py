@@ -214,6 +214,7 @@ def dense_context_head(
     x_nhwc, dw, pwt, pb, hwt, hb, dilations,
     precision=lax.Precision.DEFAULT,
     act_dtype=jnp.float32,
+    act_out=False,
 ):
     """Large-image context module: each separable layer collapsed into ONE
     dense 3x3 dilated MXU conv (kernel[ty,tx,ci,co] = dw[ty,tx,ci]*pw[co,ci]
@@ -248,8 +249,12 @@ def dense_context_head(
     out = lax.conv_general_dilated(
         x, hwt.T.reshape(1, 1, C, -1).astype(act_dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
-    )
-    return (out + hb[:, 0, 0].astype(act_dtype)).astype(jnp.float32)
+    ) + hb[:, 0, 0].astype(act_dtype)
+    # act_out: hand logits over at act_dtype — the bf16 route's f32 logits
+    # are exact converts of these values, so consumers doing f32 math on
+    # them (sigmoid/softmax in postprocessing) see identical numbers while
+    # the full-size f32 materialization becomes dead code when unused
+    return out if act_out else out.astype(jnp.float32)
 
 
 def _s2d(x):
@@ -409,6 +414,7 @@ def s2d_context_head(
     act_dtype=jnp.float32,
     unpack=True,
     packed_in=False,
+    act_out=False,
 ):
     """``dense_context_head`` on s=2 space-to-depth-packed activations —
     the large-map route.
@@ -433,7 +439,8 @@ def s2d_context_head(
         B, H, W, C = x_nhwc.shape
         if H % 2 or W % 2:
             return dense_context_head(
-                x_nhwc, dw, pwt, pb, hwt, hb, dilations, precision, act_dtype
+                x_nhwc, dw, pwt, pb, hwt, hb, dilations, precision, act_dtype,
+                act_out=act_out,
             )
         x = _s2d(x_nhwc.astype(act_dtype))
     zero = jnp.zeros((), act_dtype)
@@ -461,8 +468,9 @@ def s2d_context_head(
         # packed_phases=(2, 2)) skip the depth-to-space entirely; XLA
         # inserts ~20 ms/batch of layout copies at 2048px when a
         # transposed tensor meets the Pallas kernel operand.
-        return out.astype(jnp.float32)
-    return _d2s(out, O).astype(jnp.float32)
+        return out if act_out else out.astype(jnp.float32)
+    out = _d2s(out, O)
+    return out if act_out else out.astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -586,7 +594,8 @@ def packed_trunk_selected(cfg, out_hw) -> bool:
 
 
 def packed_fused_trunk(
-    params, x_nhwc: jax.Array, cfg, raw_gray: bool = False
+    params, x_nhwc: jax.Array, cfg, raw_gray: bool = False,
+    act_out: bool = False,
 ) -> jax.Array:
     """Large-scan FCN forward entirely in s=2-packed layout: packed stem
     (packed_stem_apply) + packed context (s2d_context_head packed_in) —
@@ -606,11 +615,13 @@ def packed_fused_trunk(
         act_dtype=jnp.bfloat16 if stem_dtype == jnp.bfloat16 else jnp.float32,
         unpack=False,
         packed_in=True,
+        act_out=act_out,
     )
 
 
 def context_head_route_maybe_packed(
     params, feat: jax.Array, cfg, large: bool | None = None,
+    act_out: bool = False,
 ):
     """``context_head_route`` that hands the s2d route's logits over in
     their native packed layout: returns (logits, packed_phases) where
@@ -621,13 +632,17 @@ def context_head_route_maybe_packed(
     if large is None:
         large = feat.shape[1] * feat.shape[2] > 128 * 128
     if not _s2d_route_selected(cfg, feat.shape[1], feat.shape[2], large):
-        return context_head_route(params, feat, cfg, large=large), None
+        return (
+            context_head_route(params, feat, cfg, large=large, act_out=act_out),
+            None,
+        )
     stem_dtype = jnp.dtype(cfg.dtype)
     dw, pwt, pb, hwt, hb = _pack_weights(params, tuple(cfg.dilations))
     out = s2d_context_head(
         feat, dw, pwt, pb, hwt, hb, tuple(cfg.dilations),
         act_dtype=jnp.bfloat16 if stem_dtype == jnp.bfloat16 else jnp.float32,
         unpack=False,
+        act_out=act_out,
     )
     return out, (2, 2)
 
@@ -635,6 +650,7 @@ def context_head_route_maybe_packed(
 def context_head_route(
     params, feat: jax.Array, cfg, large: bool | None = None,
     interpret: bool = False,
+    act_out: bool = False,
 ) -> jax.Array:
     """Context module + 1x1 head over stem features (B, Hf, Wf, C) f32 ->
     (B, Hf, Wf, O) logits, picking the fastest equivalent formulation.
@@ -671,6 +687,7 @@ def context_head_route(
             act_dtype=(
                 jnp.bfloat16 if stem_dtype == jnp.bfloat16 else jnp.float32
             ),
+            act_out=act_out,
         )
     if interpret or (Wf % 128 == 0 and Hf * Wf <= 128 * 128):
         xc = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the kernel
@@ -687,6 +704,7 @@ def context_head_route(
 def fused_model_apply(
     params, x_nhwc: jax.Array, cfg, interpret: bool = False,
     raw_gray: bool = False,
+    act_out: bool = False,
 ) -> jax.Array:
     """Full FCN forward with the fused context module + head.
 
@@ -700,4 +718,6 @@ def fused_model_apply(
     assert cfg.separable_context, "fused path implements the separable module"
     large = (x_nhwc.shape[1] // 4) * (x_nhwc.shape[2] // 4) > 128 * 128
     feat = stem_apply(params, x_nhwc, cfg, raw_gray=raw_gray, large=large)
-    return context_head_route(params, feat, cfg, large=large, interpret=interpret)
+    return context_head_route(
+        params, feat, cfg, large=large, interpret=interpret, act_out=act_out
+    )

@@ -230,20 +230,18 @@ def component_stats_from_logits(
     K = max_components
     if packed_phases is None:
         B, H, W, C = logits.shape
-        lg32 = logits.astype(jnp.float32)
-        det_full = lg32[..., 0]
+        lg = logits
+        det_logit = lg[..., 0].astype(jnp.float32)
+        det_full = det_logit
     else:
         py, px = packed_phases
         B, Hh, Wh, CP = logits.shape
         C = CP // (py * px)
         H, W = Hh * py, Wh * px
         # (B, Hh, Wh, py, px, C): phase-major channel split is a reshape
-        lg32 = logits.astype(jnp.float32).reshape(B, Hh, Wh, py, px, C)
-        det_full = (
-            lg32[..., 0]
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(B, H, W)
-        )
+        lg = logits.reshape(B, Hh, Wh, py, px, C)
+        det_logit = lg[..., 0].astype(jnp.float32)  # (B, Hh, Wh, py, px)
+        det_full = det_logit.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
     n_cls = C - 1
     geo = component_slots_from_logits(
         det_full,
@@ -262,23 +260,37 @@ def component_stats_from_logits(
             .reshape(B, Hh, py, Wh, px)
             .transpose(0, 1, 3, 2, 4)
         )  # (B, Hh, Wh, py, px)
-    det_prob = jax.nn.sigmoid(lg32[..., 0])
-    parts = [jnp.ones_like(det_prob)[..., None], det_prob[..., None]]
-    if n_cls > 0:
-        parts.append(jax.nn.softmax(lg32[..., 1:], axis=-1))
-    feats = jnp.concatenate(parts, axis=-1)  # (..., 2 + n_cls)
+    # Per-component sums as three separate contractions instead of one
+    # concat-einsum: nothing but the class softmax is ever materialized at
+    # pixel resolution (the old path wrote f32 [ones|sigmoid|softmax] plus
+    # an f32 copy of the logits — ~4.4 GB/batch of HBM at B=512 512px).
+    # The one-hot is regenerated from the int32 slot map inside each
+    # contraction's fusion (33 MB reads).  Summation stays f32 on the MXU;
+    # in the bf16 perf route the softmax itself is stored at the logits
+    # dtype (pixelwise rounding only — counts/argmax semantics unchanged,
+    # and the f32 parity mode is bit-identical since ft == f32 there).
+    hw = "bhw" if packed_phases is None else "bhwyx"
+    prec = jax.lax.Precision.HIGHEST
     onehot = jax.nn.one_hot(slots, K, dtype=jnp.float32)  # bg -> zeros
-    sums = jnp.einsum(
-        "bhwk,bhwf->bkf" if packed_phases is None else "bhwyxk,bhwyxf->bkf",
-        onehot,
-        feats,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    cls_sums = sums[..., 2:] if n_cls > 0 else jnp.zeros((B, K, 1), jnp.float32)
+    areas = jnp.einsum(f"{hw}k->bk", onehot, precision=prec)
+    det_prob = jax.nn.sigmoid(det_logit)
+    det_sums = jnp.einsum(f"{hw}k,{hw}->bk", onehot, det_prob, precision=prec)
+    if n_cls > 0:
+        ft = logits.dtype
+        sm = jax.nn.softmax(lg[..., 1:].astype(jnp.float32), axis=-1).astype(ft)
+        cls_sums = jnp.einsum(
+            f"{hw}k,{hw}c->bkc",
+            jax.nn.one_hot(slots, K, dtype=ft),
+            sm,
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cls_sums = jnp.zeros((B, K, 1), jnp.float32)
     return {
         "rootvals": geo["rootvals"],
-        "areas": sums[..., 0],
-        "det_sums": sums[..., 1],
+        "areas": areas,
+        "det_sums": det_sums,
         "cls_sums": cls_sums,
         "minx": geo["minx"],
         "maxx": geo["maxx"],
