@@ -115,6 +115,45 @@ def test_fused_postprocess_packed_phases_matches():
     )
 
 
+def test_grouped_stacking_isolates_images():
+    """component_slots_from_logits stacks G images per CCL program
+    (postproc_kernel._stack_group); blobs touching the bottom edge of one
+    image and the top edge of the next must NOT merge across the stacking
+    seam, and labels must equal the per-image XLA reference."""
+    from ubdvss_tpu.ops.pallas.postproc_kernel import (
+        _stack_group,
+        component_slots_from_logits,
+    )
+
+    H = W = 16
+    B = 8
+    logits = np.full((B, H, W), -6, np.float32)
+    # full-height vertical bar in every image: touches rows 0 and H-1
+    logits[:, :, 4:7] = 6
+    # plus a bottom-edge blob in even images / top-edge blob in odd ones
+    logits[0::2, H - 3 :, 10:14] = 6
+    logits[1::2, :3, 10:14] = 6
+    lg = jnp.asarray(logits)
+    G, gap = _stack_group(lg)
+    assert G > 1, "stacking must engage for this shape"
+    out = jax.device_get(component_slots_from_logits(lg, 8, interpret=True))
+    # every image sees exactly its own 2 components
+    np.testing.assert_array_equal(out["num_components_total"], np.full(B, 2))
+    # per-image labels identical to the unstacked XLA reference
+    mask = jax.nn.sigmoid(lg) > 0.5
+    lab_x = np.asarray(jax.vmap(lambda m: label_propagation(m))(mask))
+    for b in range(B):
+        for k in range(2):
+            m = np.asarray(out["slots"][b]) == k
+            assert m.any()
+            assert len(np.unique(lab_x[b][m])) == 1
+    # rootvals are per-image raster-min indices (rebased, not stacked);
+    # padding slots hold exactly the per-image sentinel H*W
+    rv = out["rootvals"]
+    assert np.all((rv < H * W) | (rv == H * W))
+    assert np.all(rv[:, :2] < H * W) and np.all(rv[:, 2:] == H * W)
+
+
 @pytest.mark.tpu
 def test_kernel_native_tpu():
     logits = _blob_logits(3, H=64, W=64)

@@ -66,11 +66,15 @@ def _prefix_sum(x, axis):
     return x
 
 
-def _run_min(lab, mask, sentinel, axis):
+def _run_min(lab, mask, sentinel, axis, limit=None):
     """Min within contiguous mask-runs along axis, via run-id doubling.
 
     Mask handling is int32 throughout — Mosaic cannot roll/truncate i1
-    vectors.
+    vectors.  ``limit``: upper bound on any run's length (doubling stops
+    once its reach covers it); the run-id prefix sum stays full-length —
+    ids must be unique along the whole axis or distant runs could alias
+    inside a shift window.  Used by the image-stacked CCL (runs never
+    cross an image band).
     """
     n = mask.shape[axis]
     mi = mask.astype(jnp.int32)
@@ -78,7 +82,7 @@ def _run_min(lab, mask, sentinel, axis):
     runid = jnp.where(mask, _prefix_sum(start, axis), -1)
     x = jnp.where(mask, lab, sentinel)
     d = 1
-    while d < n:
+    while d < min(n, limit if limit is not None else n):
         for s in (d, -d):
             same = _shift(runid, s, axis, -2) == runid
             x = jnp.minimum(x, jnp.where(same, _shift(x, s, axis, sentinel), sentinel))
@@ -86,7 +90,11 @@ def _run_min(lab, mask, sentinel, axis):
     return jnp.where(mask, x, sentinel)
 
 
-def _ccl_kernel(logits_ref, out_ref, *, thr_logit, connectivity, max_iters):
+def _ccl_kernel(
+    logits_ref, out_ref, *, thr_logit, connectivity, max_iters, run_limit=None
+):
+    """``run_limit``: per-image height bound for the vertical run-min when
+    the block stacks several images (postproc_kernel._stack_group)."""
     lg = logits_ref[0]  # (H, W) f32
     H, W = lg.shape
     sentinel = H * W
@@ -98,7 +106,7 @@ def _ccl_kernel(logits_ref, out_ref, *, thr_logit, connectivity, max_iters):
     def round_(l):
         l = jnp.where(mask, _neighbor_min(l, sentinel, connectivity), sentinel)
         l = _run_min(l, mask, sentinel, 1)
-        l = _run_min(l, mask, sentinel, 0)
+        l = _run_min(l, mask, sentinel, 0, limit=run_limit)
         return l
 
     def body(state):

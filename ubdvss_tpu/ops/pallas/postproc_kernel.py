@@ -35,11 +35,34 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ubdvss_tpu.ops.pallas.ccl_kernel import _neighbor_min, _run_min
+from ubdvss_tpu.ops.pallas.ccl_kernel import _ccl_kernel
 
 
-def _geometry_kernel(
+def _stack_group(det_logits: jax.Array, budget: int = 1_100_000):
+    """Pick the image-stacking parameters for the grouped CCL kernel.
+
+    Returns (G, gap): G images are stacked vertically per grid program with
+    ``gap`` dead rows (-inf logits => background) between them, so one
+    program's label-propagation rounds cover G images at once — the
+    per-image maps are tiny ((128, 128) at the 512px config ≈ 16 VPU cycles
+    per op), so the sequential per-image grid is overhead-bound and G-fold
+    stacking amortizes it.  The gap keeps components of
+    adjacent images disconnected (8-connectivity reaches 1 row; gap also
+    rounds H to a sublane multiple) so labels are bit-identical to
+    per-image CCL.  ``budget`` caps stacked elements (~8 live i32/f32
+    stacked arrays inside the fixpoint loop must sit in VMEM).
+    """
+    B, H, W = det_logits.shape
+    gap = 8 - (H % 8) if H % 8 else 8
+    for G in (16, 8, 4, 2, 1):
+        if B % G == 0 and G * (H + gap) * W <= budget:
+            return G, gap
+    return 1, gap
+
+
+def _slots_kernel(
     det_ref,
+    lab_ref,
     rootvals_ref,
     slot_ref,
     minx_ref,
@@ -48,37 +71,27 @@ def _geometry_kernel(
     roots_smem,
     *,
     thr_logit,
-    connectivity,
-    max_iters,
     K,
+    H,
+    G,
+    off_stride,
 ):
-    det_logit = det_ref[0]  # (H, W)
-    H, W = det_logit.shape
+    """Per-image roots/slots/extremes from grouped-CCL labels.
+
+    Kept separate from the CCL fixpoint kernel: this half is roll-free, so
+    its (K, H) 2-D ops never meet the roll ops of the propagation rounds
+    (Mosaic's layout solver rejects new multi-dim broadcasts connected to
+    roll operands — see ops/rect.py notes).
+    """
+    det_logit = det_ref[0][:H]  # (H, W) — drop the group-stacking gap rows
+    W = det_logit.shape[1]
     sentinel = H * W
     mask = det_logit > thr_logit
-
-    # --- CCL to fixpoint (ccl_kernel.py algorithm) ---
+    # rebase stacked labels (row offset of this image's band) to per-image
+    g = pl.program_id(0) % G
+    lab = jnp.where(mask, lab_ref[0][:H] - g * off_stride, sentinel)
     rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    lab0 = jnp.where(mask, rows * W + cols, sentinel)
-
-    def round_(l):
-        l = jnp.where(mask, _neighbor_min(l, sentinel, connectivity), sentinel)
-        l = _run_min(l, mask, sentinel, 1)
-        l = _run_min(l, mask, sentinel, 0)
-        return l
-
-    def body(state):
-        l, _, it = state
-        new = round_(l)
-        changed = jnp.sum(jnp.where(new != l, 1, 0)) > 0
-        return new, changed, it + 1
-
-    lab, _, _ = lax.while_loop(
-        lambda s: s[1] & (s[2] < max_iters),
-        body,
-        (lab0, jnp.bool_(True), jnp.int32(0)),
-    )
 
     # --- K smallest roots by iterated masked min (raster order); fori so
     # the program stays small for large K/H (an unrolled K=64 loop on big
@@ -156,19 +169,59 @@ def component_slots_from_logits(
     if max_iters is None:
         max_iters = H + W
     thr_logit = math.log(threshold / (1.0 - threshold))
-    kernel = functools.partial(
-        _geometry_kernel,
+
+    # Phase 1: CCL fixpoint over G vertically-stacked images per program
+    # (dead-gap rows isolate them — see _stack_group).  The stacking is a
+    # pad + reshape, both layout-preserving; the grid shrinks B -> B/G, so
+    # per-program overhead (sequential grid, 16-cycle ops on small maps)
+    # amortizes G-fold.  Measured on v5e at B=512 128x128 maps: 5.0 ->
+    # 1.3 ms/batch for the fixpoint half.
+    G, gap = _stack_group(det_logits)
+    det32 = det_logits.astype(jnp.float32)
+    stacked = jnp.pad(
+        det32, ((0, 0), (0, gap), (0, 0)), constant_values=-jnp.inf
+    ).reshape(B // G, G * (H + gap), W)
+    Hs = G * (H + gap)
+    ccl = functools.partial(
+        _ccl_kernel,
         thr_logit=thr_logit,
         connectivity=connectivity,
         max_iters=max_iters,
+        run_limit=H,
+    )
+    labs = pl.pallas_call(
+        ccl,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((1, Hs, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hs, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B // G, Hs, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(stacked)
+
+    # Phase 2: per-image roots/slots/extremes (roll-free kernel) reading
+    # the (H+gap, W) band of image b straight out of the stacked arrays
+    kernel = functools.partial(
+        _slots_kernel,
+        thr_logit=thr_logit,
         K=K,
+        H=H,
+        G=G,
+        off_stride=(H + gap) * W,
+    )
+    band = pl.BlockSpec(
+        (1, H + gap, W), lambda b: (b // G, b % G, 0), memory_space=pltpu.VMEM
     )
     rootvals, slots, minx, maxx, nroots = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[band, band],
         out_specs=(
             pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -190,7 +243,7 @@ def component_slots_from_logits(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(det_logits.astype(jnp.float32))
+    )(stacked, labs)
     return {
         "rootvals": rootvals[:, 0],
         "slots": slots,
