@@ -27,9 +27,13 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     # bfloat16 is the production perf mode (bf16 stem + dense-equivalent
     # context convs with bf16 activations, f32 logits); float32 is the
-    # <=1e-5 oracle-parity mode.  Detection equivalence of the bf16 route
-    # is locked by tests/test_context_kernel.py.
-    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    # <=1e-5 oracle-parity mode; int8 is the quantized serving mode
+    # (ops/quant.py — absmax-calibrated PTQ, int8 MXU convs).  Detection
+    # equivalence: tests/test_context_kernel.py, tests/test_quant.py.
+    p.add_argument(
+        "--dtype", default="bfloat16",
+        choices=["float32", "bfloat16", "int8"],
+    )
     p.add_argument("--postproc", default="on", choices=["on", "off"],
                    help="off = preproc+FCN only (diagnostic)")
     p.add_argument("--mode", default="infer", choices=["infer", "train"],
@@ -53,7 +57,11 @@ def main():
     from ubdvss_tpu.synthetic import SyntheticMarkupReader
     from ubdvss_tpu.utils.checkpoint import load_params_npz
 
-    cfg = NetConfig(dtype=args.dtype, max_components=args.max_components)
+    quant = args.dtype == "int8"
+    cfg = NetConfig(
+        dtype="float32" if quant else args.dtype,
+        max_components=args.max_components,
+    )
     params = init_params(cfg, 0)
     # realistic workload: the bundled pretrained model on synthetic barcode
     # scenes, so detection masks/components match production shapes
@@ -63,6 +71,17 @@ def main():
         params = load_params_npz(asset, params)
     if args.dtype == "bfloat16":
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    qparams = None
+    if quant:
+        from ubdvss_tpu.ops.quant import quantize_trunk
+
+        creader = SyntheticMarkupReader(
+            n_samples=32, image_hw=(args.image_size,) * 2, seed=99
+        )
+        calib = jnp.asarray(np.stack(
+            [creader.sample_at(i).image for i in range(32)]
+        ).astype(np.float32) / 127.5 - 1.0)[..., None]
+        qparams = quantize_trunk(params, cfg, calib)
 
     B, S = args.batch_size, args.image_size
 
@@ -106,7 +125,8 @@ def main():
         @jax.jit
         def run(imgs):
             res, _ = detect_program_batch(
-                params, imgs, cfg, (S, S), fused=True, n_strips=args.strips
+                params, imgs, cfg, (S, S), fused=True, n_strips=args.strips,
+                qparams=qparams,
             )
             return (
                 jnp.sum(res["boxes"])

@@ -95,6 +95,7 @@ def detect_program_batch(
     channel_order: str = "rgb",
     fused: bool | None = None,
     n_strips: int | None = None,
+    qparams=None,
 ):
     """Batched pipeline: (B, H, W[, C]) images -> batched detection tensors.
 
@@ -103,9 +104,16 @@ def detect_program_batch(
     auto-selects it on TPU backends.  Both paths are semantically identical
     (tests/test_pallas_ccl.py).  ``n_strips`` overrides the strip-tiled
     trunk for large scans (None = auto, 1 = off; ops/strips.py).
+    ``qparams`` (ops/quant.quantize_trunk) swaps the trunk for the int8
+    quantized forward — the serving perf mode; detection equivalence per
+    tests/test_quant.py.
     """
     if fused is None:
         fused = _default_device_is_tpu()
+    if qparams is not None:
+        return _detect_program_batch_int8(
+            qparams, imgs, cfg, out_hw, channel_order
+        )
     # fused path covers heatmaps up to 512x512 (2048px inputs, BASELINE
     # config 4): the context module auto-selects dense-equivalent MXU convs
     # past 128x128 feature maps (context_kernel.fused_model_apply) and the
@@ -118,6 +126,30 @@ def detect_program_batch(
         _auto_strips(cfg, out_hw, n_strips),
         _auto_two_stage(cfg, out_hw, n_strips, fused),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "out_hw", "channel_order")
+)
+def _detect_program_batch_int8(
+    qparams, imgs, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str
+):
+    """int8 serving pipeline: quantized trunk (ops/quant.py) + the same
+    fused postprocessing; whole-image at any size (no strip/packed routing
+    — the int8 convs already run at double MXU rate)."""
+    from ubdvss_tpu.ops.postproc import postprocess_batch_fused
+    from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
+    from ubdvss_tpu.ops.quant import int8_trunk_apply
+
+    x = imgs.astype(jnp.float32)
+    if x.ndim == 4:
+        x = rgb_to_grayscale(x, channel_order) if x.shape[-1] == 3 else x[..., 0]
+    if x.shape[1:] == out_hw:
+        logits = int8_trunk_apply(qparams, x, cfg, raw_gray=True)
+    else:
+        x = normalize(jax.vmap(lambda im: resize_bilinear(im, out_hw))(x))
+        logits = int8_trunk_apply(qparams, x[..., None], cfg)
+    return postprocess_batch_fused(logits, cfg), logits
 
 
 @functools.partial(
