@@ -43,6 +43,23 @@ def test_trunk_intermediates_matches_model():
     )
 
 
+def test_dense_context_checkpoints_quantize():
+    """separable_context=False params (e.g. the bundled dense asset)
+    quantize through the same path — the layer's own dense kernel is used
+    instead of the rank-1 expansion."""
+    from ubdvss_tpu.models.model import get_model
+
+    cfg = NetConfig(separable_context=False, max_components=8)
+    params = init_params(cfg, 0)
+    _, norm = _images(n=2)
+    ref = get_model(cfg).apply({"params": params}, norm)
+    acts, logits = trunk_intermediates(params, norm, cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=2e-5)
+    q = quantize_trunk(params, cfg, norm)
+    ql = int8_trunk_apply(q, norm, cfg)
+    assert float(jnp.max(jnp.abs(ql - logits))) < 2.0
+
+
 def test_raw_gray_input_quantization_exact():
     """round(v*127/127.5 - 127) == round(((v/127.5) - 1)*127): the folded
     raw-grayscale input quantization is bit-identical to quantizing the

@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="write JSON detections here")
     p.add_argument("--save-overlays", default=None,
                    help="directory for box-overlay images")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 quantized trunk (PTQ; activation ranges "
+                        "calibrated on the input images themselves)")
     args = p.parse_args(argv)
 
     import cv2
@@ -56,12 +59,37 @@ def main(argv=None):
         cfg = NetConfig(classification=not args.detection_only)
     elif args.detection_only:
         cfg = cfg.replace(classification=False)
-    det = BarcodeDetector(cfg, load_params(args.checkpoint, cfg))
+    params = load_params(args.checkpoint, cfg)
 
     paths: list[Path] = []
     for item in args.images:
         q = Path(item)
         paths.extend(sorted(q.glob("*")) if q.is_dir() else [q])
+
+    qparams = None
+    if args.int8:
+        import jax.numpy as jnp
+
+        from ubdvss_tpu.ops.preproc import preprocess
+        from ubdvss_tpu.ops.quant import build_qparams, calibrate_scales
+
+        scales = None
+        for path in paths[:16]:
+            img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+            if img is None:
+                continue
+            x = preprocess(
+                jnp.asarray(img if img.ndim == 2 else img[..., ::-1]),
+                cfg.grid_size(img.shape[0], img.shape[1]),
+            )
+            # per-image shapes differ: merge absmax (min of scales) per image
+            s = calibrate_scales(params, cfg, x[None])
+            scales = s if scales is None else [
+                jnp.minimum(a, b) for a, b in zip(scales, s)
+            ]
+        if scales is not None:
+            qparams = build_qparams(params, cfg, scales)
+    det = BarcodeDetector(cfg, params, qparams=qparams)
 
     report = {}
     for path in paths:

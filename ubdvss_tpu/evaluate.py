@@ -265,6 +265,7 @@ def run_evaluation(
     data_cfg: DataConfig | None = None,
     iou_threshold: float = 0.5,
     native: bool = False,
+    qparams=None,
 ) -> EvalResult:
     """Batched device inference over a markup dataset -> EvalResult.
 
@@ -272,7 +273,8 @@ def run_evaluation(
     ``data_cfg.train_hw`` (GT transformed identically) and the normalized
     batches feed the model directly — no second resize (VERDICT r1 weak #5).
     ``native=True``: per-image ``cfg.grid_size(h, w)`` resolution
-    (max_image_side semantics), shape-bucketed batches.
+    (max_image_side semantics), shape-bucketed batches.  ``qparams``
+    evaluates the int8 quantized trunk (ops/quant.py).
     """
     dc = data_cfg or DataConfig(batch_size=8, max_polys=32)
     dc = dataclasses.replace(dc, shuffle=False, augment=None, drop_remainder=False)
@@ -284,7 +286,9 @@ def run_evaluation(
 
         def flush(grid, items):
             xs = jnp.stack([it[0] for it in items])  # (b, H, W) f32 [0,255]
-            res, _ = detect_preprocessed_batch(params, normalize(xs)[..., None], cfg)
+            res, _ = detect_preprocessed_batch(
+                params, normalize(xs)[..., None], cfg, qparams=qparams
+            )
             _collect_batch(
                 per_image,
                 res,
@@ -307,7 +311,9 @@ def run_evaluation(
         batches = Batches(reader, cfg, dc, train=False)
         for batch in batches.epoch(0):
             # the pipeline's normalized images feed the model directly
-            res, _ = detect_preprocessed_batch(params, batch["images"], cfg)
+            res, _ = detect_preprocessed_batch(
+                params, batch["images"], cfg, qparams=qparams
+            )
             _collect_batch(
                 per_image, res, batch["polys"], batch["n_verts"], batch["class_ids"]
             )
@@ -331,6 +337,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="GT objects bound per image")
     p.add_argument("--report", default=None, help="write JSON report here")
     p.add_argument("--synthetic-samples", type=int, default=64)
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the int8 quantized trunk (PTQ calibrated "
+                        "on the first --int8-calib eval images, ops/quant.py)")
+    p.add_argument("--int8-calib", type=int, default=32)
     return p
 
 
@@ -374,8 +384,25 @@ def main(argv: list[str] | None = None) -> EvalResult:
         train_hw=tuple(args.image_size),
         max_polys=args.max_polys,
     )
+    qparams = None
+    if args.int8:
+        from ubdvss_tpu.ops.quant import quantize_trunk
+
+        # standard PTQ: activation ranges from a small sample of the
+        # evaluation distribution (ranges only — no label use)
+        cal = []
+        for batch in Batches(reader, cfg, dataclasses.replace(
+            dc, shuffle=False, augment=None, drop_remainder=False
+        ), train=False).epoch(0):
+            cal.append(np.asarray(batch["images"]))
+            if sum(c.shape[0] for c in cal) >= args.int8_calib:
+                break
+        qparams = quantize_trunk(
+            params, cfg, jnp.asarray(np.concatenate(cal)[: args.int8_calib])
+        )
     result = run_evaluation(
-        params, reader, cfg, dc, args.iou_threshold, native=args.eval_native
+        params, reader, cfg, dc, args.iou_threshold, native=args.eval_native,
+        qparams=qparams,
     )
     print(result.to_json())
     if args.report:

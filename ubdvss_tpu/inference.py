@@ -62,6 +62,20 @@ def detect_program(
     return res, logits
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "out_hw", "channel_order"))
+def detect_program_int8(
+    qparams, img, cfg: NetConfig, out_hw: tuple[int, int],
+    channel_order: str = "rgb",
+):
+    """``detect_program`` with the int8 quantized trunk (ops/quant.py);
+    same XLA postprocessing, so it runs on any backend."""
+    from ubdvss_tpu.ops.quant import int8_trunk_apply
+
+    x = preprocess(img, out_hw, channel_order)
+    logits = int8_trunk_apply(qparams, x[None], cfg)[0]
+    return postprocess(logits, cfg), logits
+
+
 def _auto_strips(cfg: NetConfig, out_hw: tuple[int, int], n_strips: int | None) -> int:
     """Manual strip count for the 1-D row-strip trunk (ops/strips.py);
     large scans default to the faster two-stage 2-D tiling instead
@@ -255,6 +269,7 @@ def detect_preprocessed_batch(
     cfg: NetConfig,
     fused: bool | None = None,
     n_strips: int | None = None,
+    qparams=None,
 ):
     """Detection over ALREADY-preprocessed images (the data pipeline's
     ``images`` contract: (B, H, W, 1) f32 normalized [-1, 1]).
@@ -262,10 +277,12 @@ def detect_preprocessed_batch(
     Used by evaluation so batches flow straight from the shared input
     pipeline into the model without a second resize/normalize round-trip
     (VERDICT r1 weak #5).  Same fused/XLA selection as
-    ``detect_program_batch``.
+    ``detect_program_batch``; ``qparams`` swaps in the int8 trunk.
     """
     if fused is None:
         fused = _default_device_is_tpu()
+    if qparams is not None:
+        return _detect_preprocessed_int8(qparams, x, cfg, fused)
     if max(x.shape[1], x.shape[2]) // cfg.scale > 512:
         fused = False
     hw = (x.shape[1], x.shape[2])
@@ -273,6 +290,16 @@ def detect_preprocessed_batch(
         params, x, cfg, fused, _auto_strips(cfg, hw, n_strips),
         _auto_two_stage(cfg, hw, n_strips, fused),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fused"))
+def _detect_preprocessed_int8(qparams, x, cfg: NetConfig, fused: bool):
+    from ubdvss_tpu.ops.postproc import postprocess_batch, postprocess_batch_fused
+    from ubdvss_tpu.ops.quant import int8_trunk_apply
+
+    logits = int8_trunk_apply(qparams, x, cfg)
+    post = postprocess_batch_fused if fused else postprocess_batch
+    return post(logits, cfg), logits
 
 
 @functools.partial(
@@ -340,17 +367,28 @@ class BarcodeDetector:
     >>> detections = det.detect(image)   # numpy HxW[x3] uint8/float
     """
 
-    def __init__(self, cfg: NetConfig, params: Any, channel_order: str = "rgb"):
+    def __init__(
+        self, cfg: NetConfig, params: Any, channel_order: str = "rgb",
+        qparams: Any = None,
+    ):
         self.cfg = cfg
         self.params = params
         self.channel_order = channel_order
+        self.qparams = qparams  # ops/quant.quantize_trunk output -> int8 mode
 
     def detect(self, image: np.ndarray) -> list[Detection]:
         h, w = image.shape[:2]
         out_hw = self.cfg.grid_size(h, w)
-        res, _ = detect_program(
-            self.params, jnp.asarray(image), self.cfg, out_hw, self.channel_order
-        )
+        if self.qparams is not None:
+            res, _ = detect_program_int8(
+                self.qparams, jnp.asarray(image), self.cfg, out_hw,
+                self.channel_order,
+            )
+        else:
+            res, _ = detect_program(
+                self.params, jnp.asarray(image), self.cfg, out_hw,
+                self.channel_order,
+            )
         res = jax.device_get(res)
         # grid -> original resolution rescale (exact when no resize happened)
         sy = h / out_hw[0]

@@ -42,17 +42,29 @@ def _qweight(k: jax.Array):
 
 
 def _dense_context_kernels(params, cfg):
-    """The rank-1-expanded dense 3x3 kernels of the separable context
-    module — identical values to dense_context_head's (shared rounding)."""
+    """The dense 3x3 kernels of the context module: either the layer's own
+    dense kernel (separable_context=False checkpoints) or the rank-1
+    expansion of its depthwise*pointwise factors — identical values to
+    dense_context_head's (shared rounding)."""
     ks = []
     for li in range(len(cfg.dilations)):
         p = params[f"context_{li}"]
-        dw = jnp.asarray(p["depthwise"]["kernel"], jnp.float32)  # (3,3,1,C)
-        pw = jnp.asarray(p["pointwise"]["kernel"], jnp.float32)  # (1,1,C,C)
-        C = pw.shape[-1]
-        # k[ty,tx,ci,co] = dw[ty,tx,ci] * pw[ci,co] (HWIO I=ci, O=co)
-        k = dw[:, :, 0, :].reshape(3, 3, C, 1) * pw[0, 0].reshape(1, 1, C, C)
-        ks.append((k, jnp.asarray(p["pointwise"]["bias"], jnp.float32)))
+        if "depthwise" in p:
+            dw = jnp.asarray(p["depthwise"]["kernel"], jnp.float32)  # 3,3,1,C
+            pw = jnp.asarray(p["pointwise"]["kernel"], jnp.float32)  # 1,1,C,C
+            C = pw.shape[-1]
+            # k[ty,tx,ci,co] = dw[ty,tx,ci] * pw[ci,co] (HWIO I=ci, O=co)
+            k = dw[:, :, 0, :].reshape(3, 3, C, 1) * pw[0, 0].reshape(
+                1, 1, C, C
+            )
+            ks.append((k, jnp.asarray(p["pointwise"]["bias"], jnp.float32)))
+        else:
+            ks.append(
+                (
+                    jnp.asarray(p["kernel"], jnp.float32),
+                    jnp.asarray(p["bias"], jnp.float32),
+                )
+            )
     return ks
 
 
@@ -99,17 +111,30 @@ def quantize_trunk(
     ``margin`` head-rooms the calibration absmax against unseen data
     (clipped activations, not rounding, dominated the error without it).
     """
-    assert cfg.separable_context, "int8 path quantizes the separable trunk"
+    return build_qparams(
+        params, cfg, calibrate_scales(params, cfg, calib_images, margin)
+    )
+
+
+def calibrate_scales(params, cfg, calib_images, margin: float = 1.3):
+    """Per-layer per-channel activation requant scales from absmax over the
+    calibration pool.  Merge pools of different image shapes with an
+    elementwise jnp.minimum over the per-layer vectors (smaller scale =
+    larger observed range), then ``build_qparams``."""
     acts, _ = jax.jit(lambda x: trunk_intermediates(params, x, cfg))(
         calib_images
     )
     # per-CHANNEL absmax of each post-ReLU activation; input is [-1, 1]
-    a_scales = [jnp.full((1,), 127.0, jnp.float32)] + [
+    return [jnp.full((1,), 127.0, jnp.float32)] + [
         127.0
         / (margin * jnp.maximum(jnp.max(jnp.abs(a), axis=(0, 1, 2)), 1e-12))
         for a in acts
     ]
 
+
+def build_qparams(params, cfg, a_scales) -> dict:
+    """Quantize the weights against the given activation scales (see
+    quantize_trunk for the folding scheme)."""
     kernels = [
         (
             jnp.asarray(params[f"downscale_{i}"]["kernel"], jnp.float32),
