@@ -178,8 +178,12 @@ def two_stage_tiled_trunk(
     feat = tile_2d_logits(stem, x4, cfg.scale, stem_halo(cfg.scale), stem_grid)
     if return_packed and ctx_grid == (1, 1):
         # hand the s2d route's logits to packed-aware postprocessing
-        # without the depth-to-space (see context_head_route_maybe_packed)
-        return context_head_route_maybe_packed(params, feat, cfg, large=large)
+        # without the depth-to-space (see context_head_route_maybe_packed);
+        # act_out: at the trunk's native dtype — callers astype(f32) the
+        # API logits themselves (dead code when only detections are read)
+        return context_head_route_maybe_packed(
+            params, feat, cfg, large=large, act_out=True
+        )
     ctx = lambda f: context_head_route(params, f, cfg, large=large)
     logits = tile_2d_logits(ctx, feat, 1, context_halo(cfg.dilations), ctx_grid)
     return (logits, None) if return_packed else logits
