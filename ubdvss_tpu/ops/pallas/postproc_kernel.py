@@ -174,8 +174,7 @@ def component_slots_from_logits(
     # (dead-gap rows isolate them — see _stack_group).  The stacking is a
     # pad + reshape, both layout-preserving; the grid shrinks B -> B/G, so
     # per-program overhead (sequential grid, 16-cycle ops on small maps)
-    # amortizes G-fold.  Measured on v5e at B=512 128x128 maps: 5.0 ->
-    # 1.3 ms/batch for the fixpoint half.
+    # amortizes G-fold.
     G, gap = _stack_group(det_logits)
     det32 = det_logits.astype(jnp.float32)
     stacked = jnp.pad(

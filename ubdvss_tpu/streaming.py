@@ -35,17 +35,19 @@ class StreamingDetector:
         params,
         frame_hw: tuple[int, int],
         batch_size: int = 8,
+        qparams=None,
     ):
         self.cfg = cfg
         self.params = params
         self.frame_hw = frame_hw
         self.batch_size = batch_size
         self.out_hw = cfg.grid_size(*frame_hw)
+        self.qparams = qparams  # ops/quant: int8 serving mode
 
     def _launch(self, batch_np: np.ndarray):
         imgs = jax.device_put(batch_np)  # async H2D
         res, _ = detect_program_batch(
-            self.params, imgs, self.cfg, self.out_hw
+            self.params, imgs, self.cfg, self.out_hw, qparams=self.qparams
         )  # async dispatch
         return res
 
