@@ -37,6 +37,64 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ubdvss_tpu.ops.pallas.ccl_kernel import _ccl_kernel
 
+# UBDVSS_PALLAS_COMPAT=1: run the round-proven single-kernel formulations
+# (per-image geometry mega-kernel, sequential convexify) instead of the
+# grouped/lockstep ones.  bench.py re-execs itself with this set if the
+# default path ever fails to compile on the target toolchain, so the
+# benchmark degrades to the proven kernels instead of dying.
+import os as _os
+
+_COMPAT = _os.environ.get("UBDVSS_PALLAS_COMPAT", "") == "1"
+
+
+def _geometry_kernel_compat(
+    det_ref,
+    rootvals_ref,
+    slot_ref,
+    minx_ref,
+    maxx_ref,
+    nroots_ref,
+    roots_smem,
+    *,
+    thr_logit,
+    connectivity,
+    max_iters,
+    K,
+):
+    """UBDVSS_PALLAS_COMPAT fallback: the whole geometry (CCL fixpoint +
+    roots/slots/extremes) as one per-image kernel — round-2's proven form."""
+    from ubdvss_tpu.ops.pallas.ccl_kernel import _neighbor_min, _run_min
+
+    det_logit = det_ref[0]  # (H, W)
+    H, W = det_logit.shape
+    sentinel = H * W
+    mask = det_logit > thr_logit
+    rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    lab0 = jnp.where(mask, rows * W + cols, sentinel)
+
+    def round_(l):
+        l = jnp.where(mask, _neighbor_min(l, sentinel, connectivity), sentinel)
+        l = _run_min(l, mask, sentinel, 1)
+        l = _run_min(l, mask, sentinel, 0)
+        return l
+
+    def body(state):
+        l, _, it = state
+        new = round_(l)
+        changed = jnp.sum(jnp.where(new != l, 1, 0)) > 0
+        return new, changed, it + 1
+
+    lab, _, _ = lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters),
+        body,
+        (lab0, jnp.bool_(True), jnp.int32(0)),
+    )
+    _roots_slots_extremes(
+        lab, mask, rows, cols, sentinel, K, H, W,
+        rootvals_ref, slot_ref, minx_ref, maxx_ref, nroots_ref, roots_smem,
+    )
+
 
 def _stack_group(det_logits: jax.Array, budget: int = 1_100_000):
     """Pick the image-stacking parameters for the grouped CCL kernel.
@@ -92,7 +150,16 @@ def _slots_kernel(
     lab = jnp.where(mask, lab_ref[0][:H] - g * off_stride, sentinel)
     rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    _roots_slots_extremes(
+        lab, mask, rows, cols, sentinel, K, H, W,
+        rootvals_ref, slot_ref, minx_ref, maxx_ref, nroots_ref, roots_smem,
+    )
 
+
+def _roots_slots_extremes(
+    lab, mask, rows, cols, sentinel, K, H, W,
+    rootvals_ref, slot_ref, minx_ref, maxx_ref, nroots_ref, roots_smem,
+):
     # --- K smallest roots by iterated masked min (raster order); fori so
     # the program stays small for large K/H (an unrolled K=64 loop on big
     # arrays blows up Mosaic compile time/memory).  Results accumulate in
@@ -170,6 +237,56 @@ def component_slots_from_logits(
         max_iters = H + W
     thr_logit = math.log(threshold / (1.0 - threshold))
 
+    common = dict(
+        out_specs=(
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # (1,1,1) block: last two dims equal the array's so Mosaic's
+            # (8,128)-divisibility rule is satisfied for any batch size
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, H), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, H), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    if _COMPAT:
+        kernel = functools.partial(
+            _geometry_kernel_compat,
+            thr_logit=thr_logit,
+            connectivity=connectivity,
+            max_iters=max_iters,
+            K=K,
+        )
+        rootvals, slots, minx, maxx, nroots = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            **common,
+        )(det_logits.astype(jnp.float32))
+        return {
+            "rootvals": rootvals[:, 0],
+            "slots": slots,
+            "minx": minx,
+            "maxx": maxx,
+            "num_components_total": nroots[:, 0, 0],
+        }
+
     # Phase 1: CCL fixpoint over G vertically-stacked images per program
     # (dead-gap rows isolate them — see _stack_group).  The stacking is a
     # pad + reshape, both layout-preserving; the grid shrinks B -> B/G, so
@@ -221,27 +338,7 @@ def component_slots_from_logits(
         kernel,
         grid=(B,),
         in_specs=[band, band],
-        out_specs=(
-            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            # (1,1,1) block: last two dims equal the array's so Mosaic's
-            # (8,128)-divisibility rule is satisfied for any batch size
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
-            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
-            jax.ShapeDtypeStruct((B, K, H), jnp.int32),
-            jax.ShapeDtypeStruct((B, K, H), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ),
-        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
+        **common,
     )(stacked, labs)
     return {
         "rootvals": rootvals[:, 0],

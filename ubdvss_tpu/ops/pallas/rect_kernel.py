@@ -71,9 +71,29 @@ def _convexify_round(x, yi, alive, sign, axis):
 def _convexify_pair(xl, xr, yi, alive_i, axis, max_rounds):
     """Convexify the left (+1) and right (-1) chains in ONE lockstep
     fixpoint loop: the rounds are data-dependent, so running both chains
-    per iteration converges in max(rounds_l, rounds_r) instead of the sum
-    of two sequential while_loops — the convexify loop dominates the rect
-    kernel's time on real blob workloads."""
+    per iteration converges in max(rounds_l, rounds_r) rounds instead of
+    the sum of two sequential while_loops — the convexify loop dominates
+    the rect kernel's time on real blob workloads.
+
+    UBDVSS_PALLAS_COMPAT=1 selects the round-proven sequential loops (see
+    postproc_kernel for the escape-hatch contract)."""
+    import os
+
+    if os.environ.get("UBDVSS_PALLAS_COMPAT", "") == "1":
+        def one(x, sign):
+            def body(state):
+                alive, _, it = state
+                alive, ndel = _convexify_round(x, yi, alive, sign, axis)
+                return alive, ndel > 0, it + 1
+
+            alive, _, _ = lax.while_loop(
+                lambda s: s[1] & (s[2] < max_rounds),
+                body,
+                (alive_i, jnp.bool_(True), jnp.int32(0)),
+            )
+            return alive
+
+        return one(xl, +1), one(xr, -1)
 
     def body(state):
         al, ar, _, it = state
