@@ -91,3 +91,36 @@ def test_grid_size_helper():
     with pytest.raises(ValueError):
         cfg.output_size(510, 512)
     assert cfg.output_size(512, 512) == (128, 128)
+
+
+def test_dense_equivalent_apply_matches_model():
+    """dense_equivalent_apply == get_model forward (rank-1 expansion is the
+    same linear map), and the gradients through the expansion match the
+    separable model's (the UBDVSS_TRAIN_DENSE_EQUIV train hook contract)."""
+    import jax
+
+    from ubdvss_tpu.models.model import dense_equivalent_apply
+
+    cfg = NetConfig()
+    params = init_params(cfg, 3)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    )
+    ref = get_model(cfg).apply({"params": params}, x)
+    out = dense_equivalent_apply(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_a(p):
+        return jnp.sum(get_model(cfg).apply({"params": p}, x) ** 2)
+
+    def loss_b(p):
+        return jnp.sum(dense_equivalent_apply(p, x, cfg) ** 2)
+
+    ga = jax.grad(loss_a)(params)
+    gb = jax.grad(loss_b)(params)
+    flat_a, _ = jax.tree.flatten(ga)
+    flat_b, _ = jax.tree.flatten(gb)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )

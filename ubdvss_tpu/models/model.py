@@ -197,6 +197,61 @@ def get_model(cfg: NetConfig) -> BarcodeFCN:
     return BarcodeFCN.from_config(cfg)
 
 
+def dense_equivalent_apply(params, x, cfg: NetConfig):
+    """``get_model(cfg).apply`` with each separable context layer computed
+    as its rank-1-expanded DENSE conv (kernel[ty,tx,ci,co] =
+    depthwise[ty,tx,ci] * pointwise[ci,co] — the exact same linear map).
+
+    Same parameter tree, fully differentiable (gradients flow through the
+    expansion), same dtype/precision regime as the model.  Why: XLA lowers
+    feature_group_count=C depthwise convs poorly on TPU MXUs; the dense
+    form is one ordinary conv per layer.  Numerics differ only by conv
+    rounding order — used by the bf16 mixed-precision train step
+    (UBDVSS_TRAIN_DENSE_EQUIV=1), never by the f32 ≤1e-5-parity mode.
+    """
+    import jax.lax as lax
+
+    dtype = jnp.dtype(cfg.dtype)
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    dims = ("NHWC", "HWIO", "NHWC")
+    x = x.astype(dtype)
+    for i in range(2):
+        p = params[f"downscale_{i}"]
+        x = lax.conv_general_dilated(
+            x, jnp.asarray(p["kernel"], dtype), (2, 2), "SAME",
+            dimension_numbers=dims, precision=prec,
+        ) + jnp.asarray(p["bias"], dtype)
+        x = nn.relu(x)
+    for i, d in enumerate(cfg.dilations):
+        p = params[f"context_{i}"]
+        if cfg.separable_context:
+            dw = p["depthwise"]["kernel"].astype(dtype)  # (3,3,1,C)
+            pw = p["pointwise"]["kernel"].astype(dtype)  # (1,1,C,C)
+            C = pw.shape[-1]
+            k = dw[:, :, 0, :].reshape(3, 3, C, 1) * pw[0, 0].reshape(
+                1, 1, C, C
+            )
+            b = p["pointwise"]["bias"].astype(dtype)
+        else:
+            k = p["kernel"].astype(dtype)
+            b = p["bias"].astype(dtype)
+        x = lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", rhs_dilation=(d, d),
+            dimension_numbers=dims, precision=prec,
+        ) + b
+        x = nn.relu(x)
+    hp = params["head"]
+    x = lax.conv_general_dilated(
+        x, jnp.asarray(hp["kernel"], dtype), (1, 1), "SAME",
+        dimension_numbers=dims, precision=prec,
+    ) + jnp.asarray(hp["bias"], dtype)
+    return x.astype(jnp.float32)
+
+
 def init_params(cfg: NetConfig, rng: jax.Array | int = 0):
     """Initialize parameters for ``get_model(cfg)`` (f32 master weights)."""
     if isinstance(rng, int):

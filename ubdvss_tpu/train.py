@@ -102,9 +102,21 @@ def create_train_state(
 def train_step(state: TrainState, batch: dict, cfg: NetConfig):
     """One optimization step; returns (new_state, metrics)."""
 
+    import os
+
+    # measurement hook: compute separable context layers as their exact
+    # rank-1-expanded dense convs (models/model.dense_equivalent_apply) —
+    # XLA's depthwise lowering vs one ordinary conv per layer
+    dense_equiv = os.environ.get("UBDVSS_TRAIN_DENSE_EQUIV", "") == "1"
+
     def loss_fn(params):
         with jax.named_scope("fcn_forward"):
-            logits = state.apply_fn({"params": params}, batch["images"])
+            if dense_equiv:
+                from ubdvss_tpu.models.model import dense_equivalent_apply
+
+                logits = dense_equivalent_apply(params, batch["images"], cfg)
+            else:
+                logits = state.apply_fn({"params": params}, batch["images"])
         with jax.named_scope("mined_loss"):
             loss, aux = total_loss(logits, batch["segmap"], cfg)
         return loss, (aux, logits)
