@@ -36,29 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ubdvss_tpu.ops.pallas.ccl_kernel import _shift
 
 
-def _dw_shift_mac(x, w9, dilation):
-    """Depthwise 3x3 dilated conv on (C, H, W) via 9 shifted MACs.
-
-    w9: (9, C) tap weights, tap index = 3*ty + tx with offsets
-    (ty-1, tx-1) * dilation; zero fill == SAME padding.
-    """
-    acc = None
-    t = 0
-    for ty in (-1, 0, 1):
-        for tx in (-1, 0, 1):
-            # conv correlation: output(h,w) += w[ty,tx] * x(h+ty*d, w+tx*d)
-            # shift toward negative index == _shift by -offset
-            xs = x
-            if ty:
-                xs = _shift(xs, -ty * dilation, 1, 0.0)
-            if tx:
-                xs = _shift(xs, -tx * dilation, 2, 0.0)
-            term = xs * w9[t]
-            acc = term if acc is None else acc + term
-            t += 1
-    return acc
-
-
 def _context_kernel(
     x_ref, dw_ref, pwt_ref, pb_ref, hwt_ref, hb_ref, out_ref, acc_ref,
     *, dilations, C, O, with_head

@@ -31,8 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ubdvss_tpu.net_config import NetConfig
-
 # BT.601 luma weights, cv2 float-path order (R, G, B).
 _LUMA_RGB = (0.299, 0.587, 0.114)
 
@@ -105,7 +103,3 @@ def preprocess_batch(
     """(B, H, W[, C]) -> (B, H', W', 1); all images share one input shape."""
     return jax.vmap(lambda im: preprocess(im, out_hw, channel_order))(imgs)
 
-
-def grid_shape_for(cfg: NetConfig, height: int, width: int) -> tuple[int, int]:
-    """Target preprocess shape for an input image under cfg (SURVEY.md §1 L4)."""
-    return cfg.grid_size(height, width)

@@ -44,11 +44,6 @@ def make_mesh(
     return Mesh(arr, axes)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Leading-dim sharding for batch pytrees."""
-    return NamedSharding(mesh, P(axis))
-
-
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
