@@ -41,18 +41,23 @@ def _shift(x, d: int, axis: int, fill):
 
 
 def _neighbor_min(lab, sentinel, connectivity):
+    if connectivity == 8:
+        # 8-neighborhood + center == 3x3 window min, which is separable:
+        # a row-min pass then a column-min pass — 4 shifts/mins instead of
+        # 8 (exact: colmin at r-1 = min of the three upper neighbors, etc;
+        # the sentinel fill at edges is the min identity)
+        m = jnp.minimum(
+            lab,
+            jnp.minimum(_shift(lab, 1, 1, sentinel), _shift(lab, -1, 1, sentinel)),
+        )
+        return jnp.minimum(
+            m, jnp.minimum(_shift(m, 1, 0, sentinel), _shift(m, -1, 0, sentinel))
+        )
     m = lab
     m = jnp.minimum(m, _shift(lab, 1, 0, sentinel))
     m = jnp.minimum(m, _shift(lab, -1, 0, sentinel))
     m = jnp.minimum(m, _shift(lab, 1, 1, sentinel))
     m = jnp.minimum(m, _shift(lab, -1, 1, sentinel))
-    if connectivity == 8:
-        up = _shift(lab, 1, 0, sentinel)
-        dn = _shift(lab, -1, 0, sentinel)
-        m = jnp.minimum(m, _shift(up, 1, 1, sentinel))
-        m = jnp.minimum(m, _shift(up, -1, 1, sentinel))
-        m = jnp.minimum(m, _shift(dn, 1, 1, sentinel))
-        m = jnp.minimum(m, _shift(dn, -1, 1, sentinel))
     return m
 
 
@@ -66,7 +71,17 @@ def _prefix_sum(x, axis):
     return x
 
 
-def _run_min(lab, mask, sentinel, axis, limit=None):
+def _run_ids(mask, axis):
+    """Run identifiers for ``_run_min``: unique id per contiguous mask-run
+    along axis (-1 at background).  Depends only on the mask, so CCL
+    fixpoint loops compute it ONCE and reuse it every round — the id
+    prefix-sum is the most expensive part of a round otherwise."""
+    mi = mask.astype(jnp.int32)
+    start = mi * (1 - _shift(mi, 1, axis, 0))
+    return jnp.where(mask, _prefix_sum(start, axis), -1)
+
+
+def _run_min(lab, mask, sentinel, axis, limit=None, runid=None):
     """Min within contiguous mask-runs along axis, via run-id doubling.
 
     Mask handling is int32 throughout — Mosaic cannot roll/truncate i1
@@ -74,12 +89,12 @@ def _run_min(lab, mask, sentinel, axis, limit=None):
     once its reach covers it); the run-id prefix sum stays full-length —
     ids must be unique along the whole axis or distant runs could alias
     inside a shift window.  Used by the image-stacked CCL (runs never
-    cross an image band).
+    cross an image band).  ``runid``: precomputed ``_run_ids`` (hoisted
+    out of fixpoint loops).
     """
     n = mask.shape[axis]
-    mi = mask.astype(jnp.int32)
-    start = mi * (1 - _shift(mi, 1, axis, 0))
-    runid = jnp.where(mask, _prefix_sum(start, axis), -1)
+    if runid is None:
+        runid = _run_ids(mask, axis)
     x = jnp.where(mask, lab, sentinel)
     d = 1
     while d < min(n, limit if limit is not None else n):
@@ -102,11 +117,14 @@ def _ccl_kernel(
     rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
     lab0 = jnp.where(mask, rows * W + cols, sentinel)
+    # run ids depend only on the (fixed) mask: compute once, reuse per round
+    rid_w = _run_ids(mask, 1)
+    rid_h = _run_ids(mask, 0)
 
     def round_(l):
         l = jnp.where(mask, _neighbor_min(l, sentinel, connectivity), sentinel)
-        l = _run_min(l, mask, sentinel, 1)
-        l = _run_min(l, mask, sentinel, 0, limit=run_limit)
+        l = _run_min(l, mask, sentinel, 1, runid=rid_w)
+        l = _run_min(l, mask, sentinel, 0, limit=run_limit, runid=rid_h)
         return l
 
     def body(state):
