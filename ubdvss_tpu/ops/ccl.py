@@ -39,6 +39,26 @@ from jax import lax
 def _neighbor_min(lab: jax.Array, sentinel: int, connectivity: int) -> jax.Array:
     """Min over the pixel's neighborhood (including itself), VPU shifts."""
     h, w = lab.shape[-2:]
+    if connectivity == 8:
+        # 8-neighborhood + center == 3x3 window min: separable into a
+        # row-min then a column-min pass (4 slices/mins instead of 8);
+        # the sentinel pad is the min identity so edges stay exact
+        pw = jnp.pad(
+            lab,
+            [(0, 0)] * (lab.ndim - 2) + [(0, 0), (1, 1)],
+            constant_values=sentinel,
+        )
+        m = jnp.minimum(
+            lab, jnp.minimum(pw[..., :, 0:w], pw[..., :, 2 : w + 2])
+        )
+        ph = jnp.pad(
+            m,
+            [(0, 0)] * (lab.ndim - 2) + [(1, 1), (0, 0)],
+            constant_values=sentinel,
+        )
+        return jnp.minimum(
+            m, jnp.minimum(ph[..., 0:h, :], ph[..., 2 : h + 2, :])
+        )
     p = jnp.pad(
         lab,
         [(0, 0)] * (lab.ndim - 2) + [(1, 1), (1, 1)],
@@ -49,11 +69,6 @@ def _neighbor_min(lab: jax.Array, sentinel: int, connectivity: int) -> jax.Array
     m = jnp.minimum(m, p[..., 2 : h + 2, 1 : w + 1])  # down
     m = jnp.minimum(m, p[..., 1 : h + 1, 0:w])  # left
     m = jnp.minimum(m, p[..., 1 : h + 1, 2 : w + 2])  # right
-    if connectivity == 8:
-        m = jnp.minimum(m, p[..., 0:h, 0:w])
-        m = jnp.minimum(m, p[..., 0:h, 2 : w + 2])
-        m = jnp.minimum(m, p[..., 2 : h + 2, 0:w])
-        m = jnp.minimum(m, p[..., 2 : h + 2, 2 : w + 2])
     return m
 
 
