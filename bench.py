@@ -146,12 +146,15 @@ def main():
         ns = _auto_strips(cfg, (S, S), args.strips)
         ts = _auto_two_stage(cfg, (S, S), args.strips, fused=True)
 
+        feed_dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
         @jax.jit
         def run(imgs):
             # same fused preproc+FCN route as the e2e path (the old
             # get_model+vmap formulation compiled for tens of minutes at
-            # B=256), postprocessing skipped
-            x = imgs.astype(jnp.float32)[..., None]
+            # B=256), postprocessing skipped; feed dtype matches the e2e
+            # path (inference._detect_program_batch)
+            x = imgs.astype(feed_dt)[..., None]
             trunk = lambda s: fused_model_apply(params, s, cfg, raw_gray=True)
             if ts:
                 from ubdvss_tpu.ops.pallas.context_kernel import (

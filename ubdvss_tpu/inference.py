@@ -186,13 +186,27 @@ def _detect_program_batch(
     from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
 
     if fused:
-        x = imgs.astype(jnp.float32)
+        x = imgs
         if x.ndim == 4:
-            x = rgb_to_grayscale(x, channel_order) if x.shape[-1] == 3 else x[..., 0]
+            x = (
+                rgb_to_grayscale(x.astype(jnp.float32), channel_order)
+                if x.shape[-1] == 3
+                else x[..., 0]
+            )
         # no-resize inputs skip the full-res normalize materialization: the
         # x/127.5 - 1 affine is folded into the stem's first conv
         # (fused_model_apply raw_gray — border-exact)
         raw = x.shape[1:] == out_hw
+        # feed the trunk its own compute dtype on the no-resize separable
+        # path: stem_apply casts to cfg.dtype immediately, so casting here
+        # is numerically identical (uint8 0..255 is exact in bf16) but the
+        # full-resolution HBM materialization halves in bf16 mode
+        feed_dt = (
+            jnp.dtype(cfg.dtype)
+            if raw and cfg.separable_context
+            else jnp.float32
+        )
+        x = x.astype(feed_dt)
         if not raw:
             x = jax.vmap(lambda im: resize_bilinear(im, out_hw))(x)
             x = normalize(x)
