@@ -39,6 +39,7 @@ def test_kernel_interpret_matches_reference_math():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_exact_vs_flax():
     """custom-VJP grads through the fused path == flax autodiff grads."""
     cfg = NetConfig(dilations=(1, 2))

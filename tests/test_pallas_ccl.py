@@ -87,6 +87,7 @@ def test_fused_postprocess_matches_reference_path():
     np.testing.assert_array_equal(rf["num_detections"], rx["num_detections"])
 
 
+@pytest.mark.slow
 def test_fused_postprocess_packed_phases_matches():
     """packed_phases=(2, 2): space-to-depth-packed logits (the s2d context
     route's native layout) must yield the same detections as unpacked —
@@ -154,6 +155,7 @@ def test_grouped_stacking_isolates_images():
     assert np.all(rv[:, :2] < H * W) and np.all(rv[:, 2:] == H * W)
 
 
+@pytest.mark.slow
 @pytest.mark.tpu
 def test_kernel_native_tpu():
     logits = _blob_logits(3, H=64, W=64)

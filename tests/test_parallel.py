@@ -176,6 +176,7 @@ def test_tiled_logits_match_whole_image(n_dev):
     )
 
 
+@pytest.mark.slow
 def test_tiled_thin_tiles_multihop_halo():
     """Tiles thinner than the receptive-field halo stay seam-exact via
     chained multi-neighbor ppermutes (ADVICE r1: the old clamp silently

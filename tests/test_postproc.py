@@ -162,6 +162,7 @@ def test_component_overflow_reported():
     assert int(res2["num_detections"]) == 9
 
 
+@pytest.mark.slow
 def test_fused_exact_caliper_request_large_heatmap():
     """max_hull_points >= H at H > 128 routes the rect fit through the XLA
     caliper (the uncompacted Mosaic kernel's compile time explodes there);

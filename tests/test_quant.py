@@ -73,6 +73,7 @@ def test_raw_gray_input_quantization_exact():
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.slow
 def test_int8_detections_match_f32():
     """Quantized trunk + standard fused postprocessing finds the same
     boxes/classes as the f32 path on the pretrained asset (the int8 mode's

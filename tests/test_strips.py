@@ -106,6 +106,7 @@ def test_auto_two_stage_grids():
     assert auto_two_stage_grids(256, 256, 4, dil) == ((1, 1), (1, 1))
 
 
+@pytest.mark.slow
 def test_detect_preprocessed_batch_strips_match():
     from ubdvss_tpu.inference import detect_preprocessed_batch
 

@@ -126,6 +126,7 @@ def test_net_config_sidecar_roundtrip(tmp_path):
     assert load_net_config(tmp_path) is None
 
 
+@pytest.mark.slow
 def test_train_cli_architecture_flags(tmp_path):
     """--channels/--dilations/--no-separable-context reach NetConfig and the
     sidecar; a fresh evaluate run picks the architecture up from the logdir."""
