@@ -176,39 +176,45 @@ def _roots_slots_extremes(
     # caller: num_components_total > K means slots were dropped)
     nroots_ref[0, 0, 0] = jnp.sum(jnp.where(cand0 != sentinel, 1, 0))
 
-    kio1 = lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-
-    def root_body(k, carry):
-        cand, roots_col = carry
+    def root_body(k, cand):
         r = jnp.min(cand)
         roots_smem[k] = r
-        return (
-            jnp.where(cand == r, sentinel, cand),
-            jnp.where(kio1 == k, r, roots_col),
-        )
+        return jnp.where(cand == r, sentinel, cand)
 
-    _, roots_col = lax.fori_loop(
-        0, K, root_body, (cand0, jnp.zeros((K, 1), jnp.int32))
-    )
+    lax.fori_loop(0, K, root_body, cand0)
     rootvals_ref[0, 0] = jnp.stack([roots_smem[k] for k in range(K)])
 
-    # --- compact slot map + per-row extremes: ONE (K, H, W) membership
-    # pass instead of a K-round fori (same element work, ~K fewer op
-    # dispatches — the per-image maps are small enough that dispatch
-    # overhead dominated).  This kernel is roll-free, so 3-D broadcasts
-    # are safe (the Mosaic layout-solver failure is specific to new
-    # multi-dim broadcasts connected to roll operands — ops/rect.py). ---
+    # --- compact slot map + per-row extremes ---
+    # Keep this as a K-round fori over (H, W) work.  The tempting
+    # alternative — one (K, H, W) membership compare with axis
+    # reductions — was measured 16% SLOWER end-to-end on v5e at
+    # K=16/B=512/512px (11.9k vs 14.7k img/s): the 3-D temporaries
+    # (~K x H x W i32, several live at once) blow past what Mosaic keeps
+    # resident, while the fori's (H, W) working set stays hot in VMEM.
     big = jnp.int32(1 << 30)
-    m3 = lab[None, :, :] == roots_col[:, :, None]  # (K, H, W)
-    cols3 = cols[None, :, :]
-    kio3 = lax.broadcasted_iota(jnp.int32, (K, H, W), 0)
-    mnx = jnp.min(jnp.where(m3, cols3, big), axis=2)  # (K, H)
-    mxx = jnp.max(jnp.where(m3, cols3, -1), axis=2)
-    # each pixel matches at most one real root; padding roots (== sentinel)
-    # match the background, and the LAST matching k wins — identical to the
-    # sequential overwrite order of the old fori
-    smax = jnp.max(jnp.where(m3, kio3, -1), axis=0)  # (H, W)
-    slot = jnp.where(smax >= 0, smax, K)
+    kio = lax.broadcasted_iota(jnp.int32, (K, H), 0)
+
+    def slot_body(k, carry):
+        slot, mnx, mxx = carry
+        root = roots_smem[k]
+        m = lab == root
+        mk = jnp.min(jnp.where(m, cols, big), axis=1)  # (H,)
+        xk = jnp.max(jnp.where(m, cols, -1), axis=1)
+        rowsel = kio == k  # (K, H)
+        mnx = jnp.where(rowsel, mk[None, :], mnx)
+        mxx = jnp.where(rowsel, xk[None, :], mxx)
+        return jnp.where(m, k, slot), mnx, mxx
+
+    slot, mnx, mxx = lax.fori_loop(
+        0,
+        K,
+        slot_body,
+        (
+            jnp.full((H, W), K, jnp.int32),
+            jnp.full((K, H), big, jnp.int32),
+            jnp.full((K, H), -1, jnp.int32),
+        ),
+    )
     slot_ref[0] = slot
     minx_ref[0] = mnx
     maxx_ref[0] = mxx
