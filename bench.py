@@ -36,9 +36,25 @@ def main():
     )
     p.add_argument("--postproc", default="on", choices=["on", "off"],
                    help="off = preproc+FCN only (diagnostic)")
-    p.add_argument("--mode", default="infer", choices=["infer", "train"],
-                   help="train = jitted train-step throughput (fwd+bwd+adam)")
+    p.add_argument("--mode", default="infer",
+                   choices=["infer", "train", "train-epoch", "stream"],
+                   help="train = jitted train-step throughput (fwd+bwd+adam, "
+                        "one cached batch); train-epoch = sustained epochs "
+                        "through the full input pipeline (host collate -> "
+                        "device aug/rasterize -> step, fresh batches); "
+                        "stream = StreamingDetector with frames originating "
+                        "on host (H2D feed INCLUDED)")
     p.add_argument("--max-components", type=int, default=16)
+    p.add_argument("--n-objects", type=int, nargs=2, default=(2, 5),
+                   metavar=("LO", "HI"),
+                   help="synthetic objects per scene (crowded-scene rows: "
+                        "e.g. --n-objects 12 16 with --max-components 64)")
+    p.add_argument("--epoch-samples", type=int, default=512,
+                   help="train-epoch mode: dataset size per epoch")
+    p.add_argument("--epochs", type=int, default=3,
+                   help="train-epoch mode: measured epochs (after 1 warmup)")
+    p.add_argument("--frames", type=int, default=512,
+                   help="stream mode: total frames to feed")
     p.add_argument("--strips", type=int, default=None,
                    help="strip-tiled trunk override for large scans "
                         "(ops/strips.py; None=auto, 1=off)")
@@ -91,7 +107,8 @@ def main():
 
         # B=128 measured optimal on v5e (5.2k img/s; the step is
         # fixed-cost-bound below it — B=64 runs at the same ms/step —
-        # and falls off ~7% above it)
+        # and falls off ~7% above it).  The effective config is echoed in
+        # the JSON line so a clamped --batch-size is never silent.
         B = min(B, 128)
         reader = SyntheticMarkupReader(n_samples=B, image_hw=(S, S), seed=7)
         dc = DataConfig(batch_size=B, train_hw=(S, S), seed=0)
@@ -111,11 +128,103 @@ def main():
             "value": round(ips, 1),
             "unit": "img/s",
             "vs_baseline": round(ips / 5000.0, 4),
+            "config": {"batch_size": B, "image_size": S,
+                       "dtype": args.dtype, "iters": args.iters,
+                       "pipeline": "cached-batch (step only)"},
+        }))
+        return ips
+
+    if args.mode == "train-epoch":
+        # Sustained-epoch training throughput, INPUT PIPELINE INCLUDED
+        # (VERDICT r2 item 2 / SURVEY.md §3.1's "second hot path"): drive
+        # Batches end-to-end — host collate (cached decodes, per-sample
+        # grayscale/resize) -> on-device augmentation + rasterization ->
+        # jitted train step — over fresh batches for --epochs epochs after
+        # one warmup (compile) epoch.  The gap vs --mode train is the
+        # pipeline's cost on top of fwd+bwd+adam.
+        from ubdvss_tpu.data import Batches, DataConfig
+        from ubdvss_tpu.train import create_train_state, train_step
+
+        B = min(B, 128)
+        n_samples = max(args.epoch_samples - args.epoch_samples % B, B)
+        reader = SyntheticMarkupReader(
+            n_samples=n_samples, image_hw=(S, S), seed=7,
+            n_objects=tuple(args.n_objects),
+        )
+        dc = DataConfig(batch_size=B, train_hw=(S, S), seed=0)
+        batches = Batches(reader, cfg, dc, train=True)
+        state = create_train_state(cfg, lr=1e-3)
+        m = None
+        for batch in batches.epoch(0):  # warmup epoch: renders + compiles
+            state, m = train_step(state, batch, cfg)
+        float(jax.device_get(m["loss"]))
+        t0 = time.perf_counter()
+        n_imgs = 0
+        for e in range(1, args.epochs + 1):
+            for batch in batches.epoch(e):
+                state, m = train_step(state, batch, cfg)
+                n_imgs += B
+        float(jax.device_get(m["loss"]))  # chained through donated state
+        dt = time.perf_counter() - t0
+        ips = n_imgs / dt
+        print(json.dumps({
+            "metric": f"train_epoch_images_per_sec_{S}_per_chip",
+            "value": round(ips, 1),
+            "unit": "img/s",
+            "vs_baseline": round(ips / 5000.0, 4),
+            "config": {"batch_size": B, "image_size": S,
+                       "dtype": args.dtype, "epoch_samples": n_samples,
+                       "epochs": args.epochs,
+                       "pipeline": "full (host collate + device aug + "
+                                   "rasterize + step)"},
+        }))
+        return ips
+
+    if args.mode == "stream":
+        # Feed-inclusive streaming throughput (VERDICT r2 item 3 /
+        # BASELINE config 5): frames originate on HOST as uint8 arrays;
+        # StreamingDetector overlaps H2D transfer with compute (double
+        # buffering) and detection tensors come back per frame.  This is
+        # the number that closes BASELINE.md's "excluding H2D feed" caveat.
+        # NOTE: on the tunneled dev chip the host link is ~25 MB/s, so this
+        # row is a LOWER bound — production hosts attach over PCIe.
+        from ubdvss_tpu.streaming import StreamingDetector
+
+        reader = SyntheticMarkupReader(
+            n_samples=min(args.frames, 64), image_hw=(S, S), seed=7,
+            n_objects=tuple(args.n_objects),
+        )
+        pool = [np.asarray(reader.sample_at(i).image, dtype=np.uint8)
+                for i in range(min(args.frames, 64))]
+        frames = [pool[i % len(pool)] for i in range(args.frames)]
+        sd = StreamingDetector(
+            cfg, params, frame_hw=(S, S), batch_size=min(B, 64),
+            qparams=qparams,
+        )
+        n_warm = min(2 * sd.batch_size, len(frames))
+        for _ in sd.process(frames[:n_warm]):  # compile + warm the program
+            pass
+        t0 = time.perf_counter()
+        n_out = 0
+        for _idx, _det in sd.process(frames):
+            n_out += 1
+        dt = time.perf_counter() - t0
+        assert n_out == len(frames)
+        ips = n_out / dt
+        print(json.dumps({
+            "metric": f"stream_images_per_sec_{S}_feed_inclusive",
+            "value": round(ips, 1),
+            "unit": "img/s",
+            "vs_baseline": round(ips / 5000.0, 4),
+            "config": {"batch_size": sd.batch_size, "image_size": S,
+                       "dtype": args.dtype, "frames": len(frames),
+                       "pipeline": "host uint8 frames -> H2D -> fused "
+                                   "detect -> D2H detections"},
         }))
         return ips
 
     reader = SyntheticMarkupReader(
-        n_samples=B, image_hw=(S, S), seed=7, n_objects=(2, 5)
+        n_samples=B, image_hw=(S, S), seed=7, n_objects=tuple(args.n_objects)
     )
     imgs = jnp.asarray(
         np.stack([reader.sample_at(i).image for i in range(B)])
@@ -220,6 +329,10 @@ def main():
                 "value": round(ips, 1),
                 "unit": "img/s",
                 "vs_baseline": round(ips / 5000.0, 4),
+                "config": {"batch_size": B, "image_size": S,
+                           "dtype": args.dtype,
+                           "max_components": args.max_components,
+                           "n_objects": list(args.n_objects)},
             }
         )
     )

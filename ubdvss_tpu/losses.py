@@ -39,13 +39,14 @@ def _top_k_sum_bisect(x: jax.Array, valid: jax.Array, k: jax.Array) -> jax.Array
     """Sum of the k largest ``x[valid]`` WITHOUT a sort.
 
     The top-k SUM doesn't need the selection permutation: with t = the k-th
-    largest value, sum(top k) = sum(x > t) + (k - |{x > t}|) * t exactly,
-    for any tie-breaking rule (tied elements all equal t).  t is found by
-    31-round bisection on the f32 BIT PATTERN (monotone for x >= 0), i.e.
-    31 vectorized count-reductions instead of an O(n log^2 n) XLA sort.
-    Requires x >= 0 (BCE losses are).
-    k may be 0 (returns 0).  Exact same selection as the stable-sort
-    formulation (tests/test_losses.py::test_bisect_matches_sort_mining).
+    largest value, sum(top k) = sum over {x > t} plus (k - |{x > t}|)
+    elements equal to t (first by flat index — the stable-sort tie order),
+    for any tie-breaking rule.  t is found by 31-round bisection on the f32
+    BIT PATTERN (monotone for x >= 0), i.e. 31 vectorized count-reductions
+    instead of an O(n log^2 n) XLA sort.  Requires x >= 0 (BCE losses are).
+    k may be 0 (returns 0).  Selection AND gradient match the stable-sort
+    formulation exactly (tests/test_losses.py::test_bisect_matches_sort_mining,
+    test_bisect_gradient_matches_sort).
     """
     xb = jnp.where(valid, lax.bitcast_convert_type(x, jnp.int32), -1)
 
@@ -62,7 +63,16 @@ def _top_k_sum_bisect(x: jax.Array, valid: jax.Array, k: jax.Array) -> jax.Array
     t = lax.bitcast_convert_type(lo, jnp.float32)
     gt = valid & (x > t)
     n_gt = jnp.sum(gt)
-    s = jnp.sum(jnp.where(gt, x, 0.0)) + (k - n_gt).astype(jnp.float32) * t
+    # The top-k is completed by (k - n_gt) elements EQUAL to the threshold.
+    # Summing them as the actual array elements (first by flat index, the
+    # stable-sort tie order) rather than as (k - n_gt) * t keeps the
+    # GRADIENT flowing into the boundary pixel(s): t itself comes off an
+    # integer bisection (bitcast), so `(k - n_gt) * t` would silently drop
+    # d(loss)/d(k-th hardest negative) — caught by the oracle
+    # gradient-parity test (tests/test_keras_parity.py, VERDICT r2 item 5).
+    eq = valid & (x == t)
+    sel = eq & (jnp.cumsum(eq.astype(jnp.int32)) <= k - n_gt)
+    s = jnp.sum(jnp.where(gt | sel, x, 0.0))
     return jnp.where(k > 0, s, 0.0)
 
 
