@@ -122,12 +122,22 @@ def classification_loss_single(
     return jnp.sum(jnp.where(mask, -ll, 0.0)) / jnp.maximum(n, 1).astype(jnp.float32)
 
 
-def total_loss(logits: jax.Array, segmap: jax.Array, cfg: NetConfig):
+def total_loss(
+    logits: jax.Array,
+    segmap: jax.Array,
+    cfg: NetConfig,
+    cls_weight: jax.Array | float | None = None,
+):
     """Batched combined loss.
 
     Args:
       logits: (B, Ho, Wo, 1 + n_classes) model output.
       segmap: (B, Ho, Wo) int32 GT (0 background, 1 + class_index).
+      cls_weight: optional (traced) override of
+        cfg.classification_loss_weight — the Trainer's cls-weight schedule
+        passes the step-dependent value here (the cls head empirically
+        needs ~10× detection's schedule; see models/model.py capacity
+        notes), keeping the jit cache keyed on static cfg only.
     Returns: (scalar_loss, aux dict).
     """
     pos = segmap > 0
@@ -137,8 +147,9 @@ def total_loss(logits: jax.Array, segmap: jax.Array, cfg: NetConfig):
     aux = {"detection_loss": det}
     loss = cfg.detection_loss_weight * det
     if cfg.classification and logits.shape[-1] > 1:
+        w = cfg.classification_loss_weight if cls_weight is None else cls_weight
         cls = jax.vmap(classification_loss_single)(logits[..., 1:], segmap).mean()
         aux["classification_loss"] = cls
-        loss = loss + cfg.classification_loss_weight * cls
+        loss = loss + w * cls
     aux["loss"] = loss
     return loss, aux

@@ -99,18 +99,35 @@ def create_train_state(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def train_step(state: TrainState, batch: dict, cfg: NetConfig):
+def train_step(
+    state: TrainState, batch: dict, cfg: NetConfig, cls_schedule=None
+):
     """One optimization step; returns (new_state, metrics).
 
     The forward pass auto-routes by static cfg (models/model.train_apply):
     bf16 perf mode trains through the dense-equivalent MXU formulation,
-    f32 stays on the flax ≤1e-5-parity path."""
+    f32 stays on the flax ≤1e-5-parity path.
+
+    ``cls_schedule``: optional (base, end, ramp_steps) traced triple — the
+    classification-loss weight ramps linearly base→end over ramp_steps then
+    holds (the cls head converges ~10× slower than detection; ramping its
+    weight after detection stabilizes addresses that structurally instead
+    of "train much longer").  Computed from state.step on device — no
+    host sync, no recompile across steps."""
+
+    cls_w = None
+    if cls_schedule is not None:
+        base, end, ramp = cls_schedule
+        frac = jnp.clip(
+            state.step.astype(jnp.float32) / jnp.maximum(ramp, 1.0), 0.0, 1.0
+        )
+        cls_w = base + (end - base) * frac
 
     def loss_fn(params):
         with jax.named_scope("fcn_forward"):
             logits = train_apply(params, batch["images"], cfg)
         with jax.named_scope("mined_loss"):
-            loss, aux = total_loss(logits, batch["segmap"], cfg)
+            loss, aux = total_loss(logits, batch["segmap"], cfg, cls_weight=cls_w)
         return loss, (aux, logits)
 
     with jax.named_scope("grad"):
@@ -122,11 +139,15 @@ def train_step(state: TrainState, batch: dict, cfg: NetConfig):
     metrics = dict(aux)
     metrics.update(pixel_detection_metrics(logits[..., 0], batch["segmap"]))
     metrics["grad_norm"] = optax.global_norm(grads)
+    if cls_w is not None:
+        metrics["cls_weight"] = cls_w
     return new_state, metrics
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def checked_train_step(state: TrainState, batch: dict, cfg: NetConfig):
+def checked_train_step(
+    state: TrainState, batch: dict, cfg: NetConfig, cls_schedule=None
+):
     """Debug-build step with NaN/inf guards (SURVEY.md §5 "Race detection /
     sanitizers"): checkify wraps the same math; the caller throws on the
     first poisoned value.  (index_checks are omitted — checkify's gather
@@ -134,7 +155,7 @@ def checked_train_step(state: TrainState, batch: dict, cfg: NetConfig):
     from jax.experimental import checkify
 
     def step(state, batch):
-        return train_step.__wrapped__(state, batch, cfg)
+        return train_step.__wrapped__(state, batch, cfg, cls_schedule)
 
     checked = checkify.checkify(step, errors=checkify.float_checks)
     err, out = checked(state, batch)
@@ -173,6 +194,10 @@ class Trainer:
     debug_checks: bool = False
     seed: int = 0
     mesh: Any | None = None  # jax.sharding.Mesh for data parallelism
+    # cls-weight schedule: ramp classification_loss_weight -> cls_weight_end
+    # over cls_weight_ramp_steps (None = constant cfg weight)
+    cls_weight_end: float | None = None
+    cls_weight_ramp_steps: int = 10_000
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -236,11 +261,18 @@ class Trainer:
 
     def step_fn(self, state: TrainState, batch: dict):
         """One optimization step on already-placed (state, batch)."""
+        sched = None
+        if self.cls_weight_end is not None:
+            sched = jnp.asarray(
+                [self.cfg.classification_loss_weight, self.cls_weight_end,
+                 float(self.cls_weight_ramp_steps)],
+                jnp.float32,
+            )
         if self.debug_checks:
-            err, out = checked_train_step(state, batch, self.cfg)
+            err, out = checked_train_step(state, batch, self.cfg, sched)
             err.throw()
             return out
-        return train_step(state, batch, self.cfg)
+        return train_step(state, batch, self.cfg, sched)
 
     def _step(self, batch):
         return self.step_fn(self.state, self.place_batch(batch))
@@ -346,6 +378,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--decay-steps", type=int, default=10_000)
     p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--cls-weight-end", type=float, default=None,
+                   help="ramp the classification-loss weight linearly from "
+                        "its NetConfig value to this over "
+                        "--cls-weight-ramp-steps (the cls head converges "
+                        "~10x slower than detection)")
+    p.add_argument("--cls-weight-ramp-steps", type=int, default=10_000)
     p.add_argument("--export-npz", default=None,
                    help="after training, write portable weights (+ "
                         "net_config sidecar) here — best-checkpoint params "
@@ -488,6 +526,8 @@ def main(argv: list[str] | None = None) -> Trainer:
         debug_checks=args.debug_nan,
         seed=args.seed,
         mesh=mesh,
+        cls_weight_end=args.cls_weight_end,
+        cls_weight_ramp_steps=args.cls_weight_ramp_steps,
     )
     if args.resume:
         trainer.maybe_resume()
