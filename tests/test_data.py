@@ -280,3 +280,38 @@ def test_postal_class_textures_separable_at_stride4():
         correct += int(np.argmin(np.linalg.norm(cents - X[i], axis=1)) == y[i])
     acc = correct / len(X)
     assert acc >= 0.9, f"postal texture separability degraded: {acc:.2f}"
+
+
+def test_collate_fast_path_matches_per_sample():
+    """Same-shaped batches collate through ONE stacked uint8 transfer +
+    one batched program; result must equal the per-sample path exactly
+    (both for grayscale RGB sources and single-channel sources)."""
+    import jax.numpy as jnp
+
+    from ubdvss_tpu.data import _collate_on_device, _to_train_shape
+
+    rng = np.random.default_rng(0)
+    out_hw = (64, 64)
+    for shape in [(48, 80), (48, 80, 3)]:
+        imgs = [rng.integers(0, 256, size=shape).astype(np.uint8)
+                for _ in range(3)]
+        polys = [rng.uniform(0, 80, size=(4, 8, 2)).astype(np.float32)
+                 for _ in range(3)]
+        xb, pb = _collate_on_device(imgs, polys, out_hw)
+        for i in range(3):
+            xi, pi = _to_train_shape(
+                jnp.asarray(imgs[i]), jnp.asarray(polys[i]), out_hw
+            )
+            np.testing.assert_allclose(
+                np.asarray(xb[i]), np.asarray(xi), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(pb[i]), np.asarray(pi), atol=1e-5
+            )
+    # heterogeneous shapes take the per-sample fallback and still stack
+    imgs = [rng.integers(0, 256, size=(48, 80)).astype(np.uint8),
+            rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)]
+    polys = [rng.uniform(0, 60, size=(4, 8, 2)).astype(np.float32)
+             for _ in range(2)]
+    xb, pb = _collate_on_device(imgs, polys, out_hw)
+    assert xb.shape == (2, 64, 64) and pb.shape == (2, 4, 8, 2)

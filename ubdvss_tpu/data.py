@@ -102,6 +102,48 @@ def _to_train_shape(img: jax.Array, polys: jax.Array, out_hw: tuple[int, int]):
     return x, polys * jnp.array([sx, sy], jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _batch_to_train_shape(
+    imgs: jax.Array, polys: jax.Array, out_hw: tuple[int, int]
+):
+    """Batched ``_to_train_shape``: (B, H, W[, 3]) uint8 -> (B, H', W') f32.
+
+    One program per distinct source shape instead of B per-sample
+    dispatches, and the H2D transfer stays uint8 (4x fewer bytes than
+    feeding f32) — the sustained-epoch feed path (bench --mode train-epoch)
+    is transfer-bound, so bytes-on-the-wire is the number that matters.
+    """
+    x = imgs.astype(jnp.float32)
+    if x.ndim == 4:
+        x = jax.vmap(lambda i: rgb_to_grayscale(i, "rgb"))(x)
+    h, w = x.shape[1], x.shape[2]
+    x = jax.vmap(lambda i: resize_bilinear(i, out_hw))(x)
+    scale = jnp.array([out_hw[1] / w, out_hw[0] / h], jnp.float32)
+    return x, polys * scale
+
+
+def _collate_on_device(imgs_np: list, polys_np: list, out_hw: tuple[int, int]):
+    """Host lists -> device (B, H', W') f32 images + scaled polys.
+
+    Same-shaped batches (the common case: synthetic data, uniform scan
+    corpora) take the fast path: ONE stacked uint8 H2D + one batched
+    program.  Heterogeneous batches fall back to per-sample programs
+    (cached by jit per source shape).
+    """
+    if len({a.shape for a in imgs_np}) == 1:
+        return _batch_to_train_shape(
+            jnp.asarray(np.stack(imgs_np)),
+            jnp.asarray(np.stack(polys_np).astype(np.float32)),
+            out_hw,
+        )
+    xs, ps = [], []
+    for a, p in zip(imgs_np, polys_np):
+        x, pp = _to_train_shape(jnp.asarray(a), jnp.asarray(p), out_hw)
+        xs.append(x)
+        ps.append(pp)
+    return jnp.stack(xs), jnp.stack(ps)
+
+
 @functools.partial(jax.jit, static_argnames=("net_cfg", "data_cfg", "train"))
 def device_batch_step(
     key: jax.Array,
@@ -219,17 +261,15 @@ class GrainBatches:
 
     def _emit(self, records: list[dict], bkey):
         dc = self.data_cfg
-        imgs, polys = [], []
-        for r in records:
-            x, p = _to_train_shape(
-                jnp.asarray(r["image"]), jnp.asarray(r["polys"]), dc.train_hw
-            )
-            imgs.append(x)
-            polys.append(p)
+        imgs, polys = _collate_on_device(
+            [np.asarray(r["image"]) for r in records],
+            [r["polys"] for r in records],
+            dc.train_hw,
+        )
         return device_batch_step(
             bkey,
-            jnp.stack(imgs),
-            jnp.stack(polys),
+            imgs,
+            polys,
             jnp.asarray(np.stack([r["n_verts"] for r in records])),
             jnp.asarray(np.stack([r["class_ids"] for r in records])),
             self.net_cfg,
@@ -267,19 +307,13 @@ class Batches:
         cfg, dc = self.net_cfg, self.data_cfg
         imgs, polys, nvs, cids = [], [], [], []
         for s in samples:
-            img = load_image(s)
+            imgs.append(np.asarray(load_image(s)))
             p, nv, ci = pad_polygons(s, cfg, dc.max_polys, dc.max_verts)
-            x, p = _to_train_shape(jnp.asarray(img), jnp.asarray(p), dc.train_hw)
-            imgs.append(x)
             polys.append(p)
             nvs.append(nv)
             cids.append(ci)
-        return (
-            jnp.stack(imgs),
-            jnp.stack(polys),
-            jnp.asarray(np.stack(nvs)),
-            jnp.asarray(np.stack(cids)),
-        )
+        x, p = _collate_on_device(imgs, polys, dc.train_hw)
+        return x, p, jnp.asarray(np.stack(nvs)), jnp.asarray(np.stack(cids))
 
     def epoch(self, epoch: int | None = None) -> Iterator[dict]:
         dc = self.data_cfg
