@@ -51,6 +51,10 @@ def main():
                         "e.g. --n-objects 12 16 with --max-components 64)")
     p.add_argument("--epoch-samples", type=int, default=512,
                    help="train-epoch mode: dataset size per epoch")
+    p.add_argument("--device-synth", action="store_true",
+                   help="train-epoch mode: synthesize scenes ON DEVICE "
+                        "(synthgen.py) instead of feeding host-rendered "
+                        "batches — the zero-host-link training pipeline")
     p.add_argument("--epochs", type=int, default=3,
                    help="train-epoch mode: measured epochs (after 1 warmup)")
     p.add_argument("--frames", type=int, default=512,
@@ -147,12 +151,20 @@ def main():
 
         B = min(B, 128)
         n_samples = max(args.epoch_samples - args.epoch_samples % B, B)
-        reader = SyntheticMarkupReader(
-            n_samples=n_samples, image_hw=(S, S), seed=7,
-            n_objects=tuple(args.n_objects),
-        )
         dc = DataConfig(batch_size=B, train_hw=(S, S), seed=0)
-        batches = Batches(reader, cfg, dc, train=True)
+        if args.device_synth:
+            from ubdvss_tpu.synthgen import DeviceSyntheticBatches
+
+            batches = DeviceSyntheticBatches(
+                cfg, dc, n_samples=n_samples, seed=7,
+                n_objects=tuple(args.n_objects),
+            )
+        else:
+            reader = SyntheticMarkupReader(
+                n_samples=n_samples, image_hw=(S, S), seed=7,
+                n_objects=tuple(args.n_objects),
+            )
+            batches = Batches(reader, cfg, dc, train=True)
         state = create_train_state(cfg, lr=1e-3)
         m = None
         for batch in batches.epoch(0):  # warmup epoch: renders + compiles
@@ -175,8 +187,13 @@ def main():
             "config": {"batch_size": B, "image_size": S,
                        "dtype": args.dtype, "epoch_samples": n_samples,
                        "epochs": args.epochs,
-                       "pipeline": "full (host collate + device aug + "
-                                   "rasterize + step)"},
+                       "pipeline": (
+                           "device-synth (on-device generate + aug + "
+                           "rasterize + step; zero host feed)"
+                           if args.device_synth else
+                           "full (host collate + device aug + "
+                           "rasterize + step)"
+                       )},
         }))
         return ips
 

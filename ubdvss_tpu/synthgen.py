@@ -1,0 +1,516 @@
+"""On-device synthetic scene generation (zero-host training pipeline).
+
+`bench.py --mode train-epoch` measured the host-fed training pipeline at
+~40 img/s against a ~5,200 img/s train step on this host: sustained
+training is FEED-bound (H2D link + host collate), not compute-bound.  The
+TPU-native fix is to never leave the chip: this module synthesizes whole
+training batches *inside the jitted program* — procedural barcode scenes,
+exact ground-truth polygons, then the standard on-device augment →
+normalize → rasterize pipeline (`data.device_batch_step`) — so the
+sustained training rate equals the step rate regardless of host link
+bandwidth (SURVEY.md §3.1's "second hot path", fully on device).
+
+Class-signature consistency: the per-class constants (1D run-length
+sequences + style flags, postal level patterns, 2D module divisor/finder
+style) are precomputed ON HOST once per class via the exact same
+deterministic per-class RNG draws as `synthetic.py` (`_class_rng`), then
+baked into the jit as constants.  A model trained on device-generated
+scenes therefore sees the same class signatures as host-rendered
+validation scenes — verified by `tests/test_synthgen.py`, which runs the
+host-trained pretrained asset on device-generated scenes and requires
+high detection F1 and classification accuracy.
+
+Per-instance randomness (sizes, angles, phases, placement, 2D grids) uses
+`jax.random` on device; placement uses a shuffled-grid-cell scheme (one
+object per cell, jittered) instead of the host generator's
+rejection-sampling loop — guaranteed disjoint objects with static shapes
+and no data-dependent control flow, the jit-compatible equivalent of the
+host's "objects must stay separable components" invariant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ubdvss_tpu.net_config import CLASS_GROUPS, DEFAULT_CLASS_NAMES
+from ubdvss_tpu.synthetic import _1D_STYLE, _class_rng
+
+# group ids
+_G1D, _G2D, _GPOSTAL = 0, 1, 2
+
+_N_RUNS = 96  # host _render_1d sequence length
+_N_POSTAL = 48
+
+
+def _group_id(name: str) -> int:
+    if name in CLASS_GROUPS["1D"]:
+        return _G1D
+    if name in CLASS_GROUPS["postal"]:
+        return _GPOSTAL
+    return _G2D
+
+
+@functools.lru_cache(maxsize=8)
+def build_class_tables(class_names: tuple[str, ...] = DEFAULT_CLASS_NAMES):
+    """Host-precomputed per-class signature constants (numpy, cached).
+
+    Consumes the per-class RNG (`synthetic._class_rng`) in the same order
+    as the host renderers so the fixed class signatures are identical.
+    """
+    n = len(class_names)
+    t = {
+        "group": np.zeros(n, np.int32),
+        # 1D: per-phase stripe-run boundary tables in *module units*, duty
+        # folded in.  bounds[p, 2i] = end of dark run i, bounds[p, 2i+1] =
+        # end of white run i, measured from the START of the stripe field
+        # for phase p — linear, not cyclic, because the host renderer
+        # counts inter-character gaps (Code39) from the field start
+        # (n_dark % 4), not from a fixed sequence position; a cyclic table
+        # put a ~9-module white gap at the field start for 1/4 of phases,
+        # rendering small instances nearly blank.  96 pairs cover >=190
+        # module units, beyond any bw/module the size sampler can produce.
+        "bounds": np.zeros((n, _N_RUNS, 2 * _N_RUNS), np.float32),
+        "module": np.ones(n, np.float32),
+        "band_frac": np.zeros(n, np.float32),
+        "quiet_frac": np.zeros(n, np.float32),
+        "stop_right_frac": np.zeros(n, np.float32),
+        "stop_both_frac": np.zeros(n, np.float32),
+        "bearer_frac": np.zeros(n, np.float32),
+        "guards": np.zeros(n, np.float32),
+        # postal
+        "pitch": np.ones(n, np.float32),
+        "levels": np.zeros((n, _N_POSTAL), np.float32),
+        "updown": np.zeros((n, _N_POSTAL), np.float32),
+        "align": np.zeros(n, np.int32),  # 0 bottom, 1 center, 2 4-state
+        # 2D
+        "mod_div": np.full(n, 10, np.float32),
+        "finder": np.zeros(n, np.int32),
+    }
+    for c, name in enumerate(class_names):
+        g = _group_id(name)
+        t["group"][c] = g
+        crng = _class_rng(name)
+        if g == _G1D:
+            style = _1D_STYLE.get(name, dict(module=3, duty=0.5))
+            duty = float(style["duty"])
+            wf = (1.0 - duty) / duty
+            dark = crng.integers(1, 3, _N_RUNS).astype(np.float64)
+            white = crng.integers(1, 3, _N_RUNS).astype(np.float64) * wf
+            gaps = bool(style.get("gaps"))
+            for p in range(_N_RUNS):
+                x = 0.0
+                for i in range(_N_RUNS):
+                    j = (p + i) % _N_RUNS
+                    t["bounds"][c, p, 2 * i] = x + dark[j]
+                    x += dark[j] + white[j]
+                    if gaps and (i + 1) % 4 == 0:
+                        # Code39: inter-char gap after every 4th drawn bar
+                        x += 3.0 * wf
+                    t["bounds"][c, p, 2 * i + 1] = x
+            t["module"][c] = float(style["module"])
+            t["band_frac"][c] = 0.28 if style.get("band") else 0.0
+            t["quiet_frac"][c] = 0.12 if style.get("quiet") else 0.0
+            t["stop_right_frac"][c] = 0.10 if style.get("stop_right") else 0.0
+            t["stop_both_frac"][c] = 0.08 if style.get("stop_both") else 0.0
+            t["bearer_frac"][c] = 0.12 if style.get("bearer") else 0.0
+            t["guards"][c] = 1.0 if style.get("guards") else 0.0
+        elif g == _GPOSTAL:
+            pstyle = {
+                "Postnet": dict(pitch=4, levels=(0.45, 1.0), align="bottom"),
+                "IntelligentMail": dict(
+                    pitch=5, levels=(0.4, 0.7, 1.0), align="4state"
+                ),
+                "JapanPost": dict(
+                    pitch=7, levels=(0.5, 0.75, 1.0), align="center"
+                ),
+                "RoyalMail": dict(
+                    pitch=3, levels=(0.4, 0.7, 1.0), align="4state"
+                ),
+            }.get(name, dict(pitch=4, levels=(0.45, 0.7, 1.0), align="center"))
+            t["pitch"][c] = float(pstyle["pitch"])
+            t["levels"][c] = crng.choice(pstyle["levels"], _N_POSTAL)
+            t["updown"][c] = crng.integers(0, 2, _N_POSTAL)
+            t["align"][c] = {"bottom": 0, "center": 1, "4state": 2}[
+                pstyle["align"]
+            ]
+        else:  # 2D — same draw order as synthetic._render_barcode
+            t["mod_div"][c] = float(crng.integers(8, 16))
+            t["finder"][c] = int(crng.integers(0, 4))
+    return t
+
+
+def _hash01(r, c, seed):
+    """Deterministic per-cell uniform in [0,1): integer mix of (r, c, seed).
+
+    Replaces the host generator's `rng.random((gh, gw))` module grid — any
+    iid-uniform source works; the FCN learns module *statistics*, not the
+    specific codeword bits.
+    """
+    h = (
+        r.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        ^ c.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        ^ seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+    )
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    return h.astype(jnp.float32) / jnp.float32(2**32)
+
+
+def _texel_1d(u, v, bw, bh, module_px, phase, T, c):
+    """1D symbology texel: 1.0 where dark, 0.0 where light."""
+    band_h = jnp.maximum(3.0, jnp.floor(T["band_frac"][c] * bh)) * (
+        T["band_frac"][c] > 0
+    )
+    y0, y1 = 1.0, bh - 1.0 - band_h
+    x0 = jnp.where(
+        T["quiet_frac"][c] > 0,
+        jnp.maximum(3.0, jnp.floor(T["quiet_frac"][c] * bw)),
+        1.0,
+    )
+    x1 = jnp.where(T["quiet_frac"][c] > 0, bw - x0, bw - 1.0)
+    # stop blocks
+    sw_r = jnp.maximum(6.0, jnp.floor(T["stop_right_frac"][c] * bw))
+    sw_b = jnp.maximum(5.0, jnp.floor(T["stop_both_frac"][c] * bw))
+    in_y = (v >= 1.0) & (v < bh - 1.0)
+    stop_dark = jnp.zeros_like(u, dtype=bool)
+    has_sr = T["stop_right_frac"][c] > 0
+    has_sb = T["stop_both_frac"][c] > 0
+    stop_dark |= has_sr & in_y & (u >= bw - 1.0 - sw_r) & (u < bw - 1.0)
+    stop_dark |= has_sb & in_y & (u >= 1.0) & (u < 1.0 + sw_b)
+    stop_dark |= has_sb & in_y & (u >= bw - 1.0 - sw_b) & (u < bw - 1.0)
+    pad = jnp.maximum(2.0, module_px)
+    x1 = jnp.where(has_sr, bw - 1.0 - sw_r - pad, x1)
+    x0 = jnp.where(has_sb, 1.0 + sw_b + pad, x0)
+    x1 = jnp.where(has_sb, bw - 1.0 - sw_b - pad, x1)
+    # stripe field: position in module units through the class's phase-p
+    # boundary table (linear from the field start, matching the host
+    # renderer's draw loop — the first dark run always lands at x0)
+    s = (u - x0) / jnp.maximum(module_px, 1e-3)
+    bounds = T["bounds"][c, phase]
+    seg = jnp.searchsorted(bounds, s, side="right")
+    stripe_dark = (
+        (seg % 2 == 0) & (s < bounds[-1])
+        & (u >= x0) & (u < x1)
+        & (v >= y0) & (v < y1)
+    )
+    # EAN13-style guard pairs descend through the text band
+    gm = jnp.maximum(1.0, jnp.floor(module_px))
+    guard_dark = jnp.zeros_like(u, dtype=bool)
+    if True:  # static structure; activity gated by the class flag below
+        full_y = (v >= y0) & (v < bh - 1.0)
+        for gx in (
+            x0,
+            jnp.floor((x0 + x1) / 2.0),
+            x1 - 2.0 - jnp.floor(module_px),
+        ):
+            gx = jnp.clip(gx, 1.0, bw - 3.0 - jnp.floor(module_px))
+            g2 = gx + 2.0 * gm
+            guard_dark |= full_y & (
+                ((u >= gx) & (u < gx + gm)) | ((u >= g2) & (u < g2 + gm))
+            )
+    guard_dark &= T["guards"][c] > 0
+    # ITF bearer bars along top and bottom (full width)
+    tb = jnp.maximum(2.0, jnp.floor(T["bearer_frac"][c] * bh))
+    bearer_dark = (T["bearer_frac"][c] > 0) & ((v < tb) | (v >= bh - tb))
+    dark = stripe_dark | stop_dark | guard_dark | bearer_dark
+    # the text band is forced white except where guards descend
+    in_band = (T["band_frac"][c] > 0) & (v >= y1) & ~guard_dark & ~bearer_dark
+    return jnp.where(in_band, 0.0, dark.astype(jnp.float32))
+
+
+def _texel_postal(u, v, bw, bh, phase, T, c):
+    pitch = T["pitch"][c]
+    i = jnp.floor((u - 1.0) / pitch)
+    in_col = ((u - 1.0) - i * pitch < 2.0) & (u >= 1.0) & (u < bw - 2.0)
+    idx = jnp.mod(i.astype(jnp.int32) + phase, _N_POSTAL)
+    frac = T["levels"][c, idx]
+    bar_h = jnp.maximum(2.0, jnp.floor(bh * frac * 0.85))
+    align = T["align"][c]
+    mid = jnp.floor(bh / 2.0)
+    stub = jnp.maximum(1.0, jnp.floor(0.2 * bh))
+    up = T["updown"][c, idx] > 0
+    r0 = jnp.where(
+        align == 0,
+        bh - 1.0 - bar_h,
+        jnp.where(
+            align == 1,
+            jnp.floor((bh - bar_h) / 2.0),
+            jnp.where(up, mid - bar_h, mid - stub),
+        ),
+    )
+    r1 = jnp.where(
+        align == 0,
+        bh - 1.0,
+        jnp.where(
+            align == 1,
+            jnp.floor((bh + bar_h) / 2.0),
+            jnp.where(up, mid + stub, mid + bar_h),
+        ),
+    )
+    dark = in_col & (v >= jnp.maximum(r0, 0.0)) & (v < jnp.minimum(r1, bh))
+    return dark.astype(jnp.float32)
+
+
+def _texel_2d(u, v, bw, bh, seed, T, c):
+    mod = jnp.maximum(2.0, jnp.floor(jnp.minimum(bw, bh) / T["mod_div"][c]))
+    gh = jnp.maximum(1.0, jnp.floor((bh - 2.0) / mod))
+    gw = jnp.maximum(1.0, jnp.floor((bw - 2.0) / mod))
+    r = jnp.floor((v - 1.0) / mod)
+    cc = jnp.floor((u - 1.0) / mod)
+    in_grid = (r >= 0) & (r < gh) & (cc >= 0) & (cc < gw) & (u >= 1.0) & (
+        v >= 1.0
+    ) & (u < bw - 1.0) & (v < bh - 1.0)
+    ri = r.astype(jnp.int32)
+    ci = cc.astype(jnp.int32)
+    base = _hash01(ri, ci, seed) < 0.5
+    style = T["finder"][c]
+    fs = jnp.maximum(2.0, jnp.floor(jnp.minimum(gh, gw) / 4.0))
+    # style 0: QR corner rings (outer ring dark, inner hollow when fs > 2)
+    def corner(r0, c0):
+        inb = (r >= r0) & (r < r0 + fs) & (cc >= c0) & (cc < c0 + fs)
+        inner = (
+            (r >= r0 + 1) & (r < r0 + fs - 1)
+            & (cc >= c0 + 1) & (cc < c0 + fs - 1) & (fs > 2)
+        )
+        return inb, inner
+
+    o1, i1 = corner(0.0, 0.0)
+    o2, i2 = corner(0.0, gw - fs)
+    o3, i3 = corner(gh - fs, 0.0)
+    qr_any = o1 | o2 | o3
+    qr_val = ~(i1 | i2 | i3)
+    s0 = jnp.where(qr_any, qr_val, base)
+    # style 1: Aztec bullseye — chebyshev rings around the grid center
+    cy, cx = jnp.floor(gh / 2.0), jnp.floor(gw / 2.0)
+    cheb = jnp.maximum(jnp.abs(r - cy), jnp.abs(cc - cx))
+    s1 = jnp.where(cheb <= 3.0, jnp.mod(cheb, 2.0) < 0.5, base)
+    # style 2: DataMatrix L-border + dashed top/right
+    s2 = (
+        base
+        | (cc == 0)
+        | (r == gh - 1)
+        | ((r == 0) & (jnp.mod(cc, 2.0) < 0.5))
+        | ((cc == gw - 1) & (jnp.mod(r, 2.0) < 0.5))
+    )
+    # style 3: PDF417 start/stop bars + even-row high-density bands
+    interior = (cc >= 2) & (cc < gw - 2)
+    s3 = jnp.where(
+        (cc < 2) | (cc >= gw - 2),
+        jnp.ones_like(base),
+        jnp.where(
+            (jnp.mod(r, 2.0) < 0.5) & interior,
+            _hash01(ri, ci, seed + jnp.uint32(101)) < 0.7,
+            base,
+        ),
+    )
+    dark = jnp.where(
+        style == 0, s0, jnp.where(style == 1, s1, jnp.where(style == 2, s2, s3))
+    )
+    return (in_grid & dark).astype(jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SynthConfig:
+    """Static parameters of the on-device generator (hashable for jit)."""
+
+    hw: tuple[int, int] = (256, 256)
+    n_objects: tuple[int, int] = (1, 4)
+    max_polys: int = 8
+    max_verts: int = 8
+    class_names: tuple[str, ...] = DEFAULT_CLASS_NAMES
+    margin: int = 8
+
+
+def generate_scene(key: jax.Array, sc: SynthConfig):
+    """One synthetic scene, fully on device.
+
+    Returns (img (H, W) f32 in [0, 255], polys (P, V, 2) f32,
+    n_verts (P,) i32, class_ids (P,) i32) — the same GT contract as
+    `data.pad_polygons` over the host generator.
+    """
+    T = {k: jnp.asarray(v) for k, v in build_class_tables(sc.class_names).items()}
+    H, W = sc.hw
+    P = sc.max_polys
+    g = max(1, math.ceil(math.sqrt(max(P, sc.n_objects[1]))))
+    cell_h = (H - 2 * sc.margin) / g
+    cell_w = (W - 2 * sc.margin) / g
+    n_classes = len(sc.class_names)
+
+    k_n, k_bg, k_noise, k_perm, k_obj = jax.random.split(key, 5)
+    n = jax.random.randint(k_n, (), sc.n_objects[0], sc.n_objects[1] + 1)
+    n = jnp.minimum(n, P)
+    base = jax.random.uniform(k_bg, (), minval=170.0, maxval=240.0)
+    img = base + 6.0 * jax.random.normal(k_noise, (H, W))
+    cells = jax.random.permutation(k_perm, g * g)[:P]
+
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    yy = yy.astype(jnp.float32)
+    xx = xx.astype(jnp.float32)
+
+    polys = jnp.zeros((P, sc.max_verts, 2), jnp.float32)
+    n_verts = jnp.zeros(P, jnp.int32)
+    class_ids = jnp.zeros(P, jnp.int32)
+
+    bw_hi = max(41.0, min(108.0, W / 2))
+    bh_hi = max(25.0, min(60.0, H / 3))
+
+    for i in range(P):
+        ks = jax.random.split(jax.random.fold_in(k_obj, i), 8)
+        active = i < n
+        c = jax.random.randint(ks[0], (), 0, n_classes)
+        grp = T["group"][c]
+        bw = jax.random.uniform(ks[1], (), minval=40.0, maxval=bw_hi)
+        bh = jax.random.uniform(ks[2], (), minval=24.0, maxval=bh_hi)
+        bh = jnp.where(grp == _GPOSTAL, jnp.maximum(12.0, bh / 2.0), bh)
+        ang = jnp.where(
+            jax.random.uniform(ks[3], ()) < 0.5,
+            jax.random.uniform(ks[4], (), minval=-30.0, maxval=30.0),
+            0.0,
+        ) * (jnp.pi / 180.0)
+        cth, sth = jnp.cos(ang), jnp.sin(ang)
+        ext_x = jnp.abs(cth) * bw / 2 + jnp.abs(sth) * bh / 2
+        ext_y = jnp.abs(sth) * bw / 2 + jnp.abs(cth) * bh / 2
+        # shrink to fit the cell (jit-compatible stand-in for the host
+        # generator's rejection sampling: disjoint by construction).  The
+        # 6px per-side clearance mirrors the host's padded-AABB check —
+        # anything tighter lets stride-4 segmaps merge neighbors into one
+        # component, halving detection recall on crowded scenes.
+        s = jnp.minimum(
+            1.0,
+            jnp.minimum(
+                (cell_w / 2 - 6.0) / jnp.maximum(ext_x, 1e-3),
+                (cell_h / 2 - 6.0) / jnp.maximum(ext_y, 1e-3),
+            ),
+        )
+        bw, bh, ext_x, ext_y = bw * s, bh * s, ext_x * s, ext_y * s
+        row = (cells[i] // g).astype(jnp.float32)
+        col = (cells[i] % g).astype(jnp.float32)
+        cx0 = sc.margin + col * cell_w + cell_w / 2
+        cy0 = sc.margin + row * cell_h + cell_h / 2
+        jx = jax.random.uniform(ks[5], (), minval=-1.0, maxval=1.0)
+        jy = jax.random.uniform(ks[6], (), minval=-1.0, maxval=1.0)
+        cx = cx0 + jx * jnp.maximum(cell_w / 2 - ext_x - 6.0, 0.0)
+        cy = cy0 + jy * jnp.maximum(cell_h / 2 - ext_y - 6.0, 0.0)
+
+        kk = jax.random.split(ks[7], 4)
+        module_px = T["module"][c] * jax.random.uniform(
+            kk[0], (), minval=0.9, maxval=1.15
+        )
+        phase1d = jax.random.randint(kk[1], (), 0, _N_RUNS)
+        phasep = jax.random.randint(kk[2], (), 0, _N_POSTAL)
+        seed2d = jax.random.randint(
+            kk[3], (), 0, 2**31 - 1, dtype=jnp.int32
+        ).astype(jnp.uint32)
+
+        # inverse-rotate scene pixels into the object frame
+        rx = xx - cx
+        ry = yy - cy
+        u = cth * rx + sth * ry + bw / 2
+        v = -sth * rx + cth * ry + bh / 2
+        inside = (u >= 0) & (u < bw) & (v >= 0) & (v < bh) & active
+        d1 = _texel_1d(u, v, bw, bh, module_px, phase1d, T, c)
+        dp = _texel_postal(u, v, bw, bh, phasep, T, c)
+        d2 = _texel_2d(u, v, bw, bh, seed2d, T, c)
+        dark = jnp.where(grp == _G1D, d1, jnp.where(grp == _GPOSTAL, dp, d2))
+        img = jnp.where(inside, 255.0 * (1.0 - dark), img)
+
+        half = jnp.stack([bw / 2, bh / 2])
+        signs = jnp.array(
+            [[-1, -1], [1, -1], [1, 1], [-1, 1]], jnp.float32
+        )
+        rot = jnp.array([[cth, -sth], [sth, cth]])
+        corners = (signs * half) @ rot.T + jnp.stack([cx, cy])
+        pad_v = jnp.zeros((sc.max_verts, 2), jnp.float32)
+        pad_v = pad_v.at[:4].set(corners)
+        polys = polys.at[i].set(jnp.where(active, pad_v, 0.0))
+        n_verts = n_verts.at[i].set(jnp.where(active, 4, 0))
+        class_ids = class_ids.at[i].set(jnp.where(active, 1 + c, 0))
+
+    img = jnp.clip(img, 0.0, 255.0)
+    return img, polys, n_verts, class_ids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sc", "net_cfg", "data_cfg", "train")
+)
+def synth_batch_step(
+    key: jax.Array,
+    sc: SynthConfig,
+    net_cfg,
+    data_cfg,
+    train: bool = True,
+):
+    """One full training batch synthesized and processed ON DEVICE.
+
+    Generation + augmentation + normalization + rasterization compile into
+    a single XLA program; nothing crosses the host link.
+    """
+    from ubdvss_tpu.data import device_batch_step
+
+    k_gen, k_aug = jax.random.split(key)
+    keys = jax.random.split(k_gen, data_cfg.batch_size)
+    imgs, polys, n_verts, class_ids = jax.vmap(
+        lambda k: generate_scene(k, sc)
+    )(keys)
+    return device_batch_step(
+        k_aug, imgs, polys, n_verts, class_ids, net_cfg, data_cfg, train
+    )
+
+
+class DeviceSyntheticBatches:
+    """`Batches`-compatible iterable over on-device synthetic scenes.
+
+    Drop-in for `data.Batches` in the Trainer (`--train-data
+    synthetic-device`): same batch contract, but batches are synthesized
+    inside the jit — the training loop never waits on the host link.
+    """
+
+    def __init__(
+        self,
+        net_cfg,
+        data_cfg,
+        n_samples: int = 256,
+        seed: int = 0,
+        n_objects: tuple[int, int] = (1, 4),
+        class_names: tuple[str, ...] | None = None,
+        train: bool = True,
+    ):
+        self.net_cfg = net_cfg
+        self.data_cfg = data_cfg
+        self.n_samples = n_samples
+        self.seed = seed
+        self.train = train
+        self.sc = SynthConfig(
+            hw=data_cfg.train_hw,
+            n_objects=n_objects,
+            max_polys=data_cfg.max_polys,
+            max_verts=data_cfg.max_verts,
+            class_names=tuple(class_names or net_cfg.class_names),
+        )
+
+    def __len__(self) -> int:
+        return max(1, self.n_samples // self.data_cfg.batch_size)
+
+    def epoch(self, epoch: int | None = None):
+        base = jax.random.PRNGKey(self.seed)
+        ek = jax.random.fold_in(base, 0 if epoch is None else epoch)
+        for step in range(len(self)):
+            yield synth_batch_step(
+                jax.random.fold_in(ek, step),
+                self.sc,
+                self.net_cfg,
+                self.data_cfg,
+                self.train,
+            )
+
+    def __iter__(self):
+        return iter(self.epoch(None))

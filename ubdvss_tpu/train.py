@@ -347,7 +347,9 @@ class Trainer:
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train the barcode detector (TPU)")
     p.add_argument("--train-data", required=True,
-                   help="dataset root, or 'synthetic'")
+                   help="dataset root, 'synthetic' (host-rendered), or "
+                        "'synthetic-device' (scenes synthesized on device "
+                        "inside the jit — zero host feed)")
     p.add_argument("--val-data", default=None)
     p.add_argument("--markup-format", default="zvz-json",
                    help="zvz-json | zvz-xml | synthetic")
@@ -499,16 +501,33 @@ def main(argv: list[str] | None = None) -> Trainer:
     if fmt == "synthetic":
         reader_kw = {"n_samples": args.synthetic_samples,
                      "image_hw": tuple(args.train_size)}
-    train_reader = get_markup_reader(fmt, args.train_data, **reader_kw)
     dc = DataConfig(
         batch_size=args.batch_size,
         train_hw=tuple(args.train_size),
         augment=None if args.no_augment else DataConfig().augment,
         seed=args.seed,
     )
-    train_b = Batches(train_reader, cfg, dc, train=True)
+    if args.train_data == "synthetic-device":
+        # zero-host pipeline: scenes are synthesized inside the jitted
+        # program (synthgen.py) — sustained training is step-bound, not
+        # host-link-bound (bench --mode train-epoch --device-synth)
+        from ubdvss_tpu.synthgen import DeviceSyntheticBatches
+
+        train_b = DeviceSyntheticBatches(
+            cfg, dc, n_samples=args.synthetic_samples, seed=args.seed
+        )
+    else:
+        train_reader = get_markup_reader(fmt, args.train_data, **reader_kw)
+        train_b = Batches(train_reader, cfg, dc, train=True)
     val_b = None
-    if args.val_data:
+    if args.val_data == "synthetic-device":
+        from ubdvss_tpu.synthgen import DeviceSyntheticBatches
+
+        val_b = DeviceSyntheticBatches(
+            cfg, dataclasses.replace(dc, shuffle=False),
+            n_samples=args.synthetic_samples, seed=args.seed + 1, train=False,
+        )
+    elif args.val_data:
         vfmt = "synthetic" if args.val_data == "synthetic" else args.markup_format
         val_reader = get_markup_reader(vfmt, args.val_data, **reader_kw)
         val_b = Batches(
