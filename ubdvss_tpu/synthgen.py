@@ -193,10 +193,15 @@ def _texel_1d(u, v, bw, bh, module_px, phase, T, c):
     x1 = jnp.where(has_sb, bw - 1.0 - sw_b - pad, x1)
     # stripe field: position in module units through the class's phase-p
     # boundary table (linear from the field start, matching the host
-    # renderer's draw loop — the first dark run always lands at x0)
+    # renderer's draw loop — the first dark run always lands at x0).
+    # Gather-free parity lookup: searchsorted(bounds, s, 'right') equals
+    # the number of boundaries <= s, computed as a broadcast compare +
+    # reduce.  Per-pixel binary-search gathers serialize on the TPU
+    # (measured 32 s/batch at 512^2 x B=128 on the v5e); the compare
+    # form is pure vectorized VPU work that XLA fuses into the reduce.
     s = (u - x0) / jnp.maximum(module_px, 1e-3)
     bounds = T["bounds"][c, phase]
-    seg = jnp.searchsorted(bounds, s, side="right")
+    seg = (s[..., None] >= bounds).sum(-1)
     stripe_dark = (
         (seg % 2 == 0) & (s < bounds[-1])
         & (u >= x0) & (u < x1)
@@ -232,12 +237,14 @@ def _texel_postal(u, v, bw, bh, phase, T, c):
     i = jnp.floor((u - 1.0) / pitch)
     in_col = ((u - 1.0) - i * pitch < 2.0) & (u >= 1.0) & (u < bw - 2.0)
     idx = jnp.mod(i.astype(jnp.int32) + phase, _N_POSTAL)
-    frac = T["levels"][c, idx]
+    # per-pixel table lookups as one-hot contractions (no TPU gathers)
+    oh = jax.nn.one_hot(idx, _N_POSTAL, dtype=jnp.float32)
+    frac = oh @ T["levels"][c]
     bar_h = jnp.maximum(2.0, jnp.floor(bh * frac * 0.85))
     align = T["align"][c]
     mid = jnp.floor(bh / 2.0)
     stub = jnp.maximum(1.0, jnp.floor(0.2 * bh))
-    up = T["updown"][c, idx] > 0
+    up = (oh @ T["updown"][c]) > 0.5
     r0 = jnp.where(
         align == 0,
         bh - 1.0 - bar_h,
@@ -336,6 +343,17 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
     Returns (img (H, W) f32 in [0, 255], polys (P, V, 2) f32,
     n_verts (P,) i32, class_ids (P,) i32) — the same GT contract as
     `data.pad_polygons` over the host generator.
+
+    Rendering is object-windowed: every object's texture is evaluated on a
+    fixed per-axis window (<=128 px) centered on the object instead of the
+    full H x W grid (objects are <=~124 px across by construction — the
+    size caps bw<=108/bh<=60 bound the rotated half-extent at 62 px, and
+    on small images the cell shrink bounds it at cell/2-6).  The P texel
+    evaluations run data-parallel under vmap; compositing is a P-step
+    scan of dynamic window updates (disjoint by the cell invariant, so
+    order is irrelevant).  vs the full-grid unrolled loop this cut the
+    512^2 x B=128 batch from 32 s to the millisecond regime and compiles
+    a P-times smaller program.
     """
     T = {k: jnp.asarray(v) for k, v in build_class_tables(sc.class_names).items()}
     H, W = sc.hw
@@ -344,6 +362,8 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
     cell_h = (H - 2 * sc.margin) / g
     cell_w = (W - 2 * sc.margin) / g
     n_classes = len(sc.class_names)
+    wsy = min(128, H)
+    wsx = min(128, W)
 
     k_n, k_bg, k_noise, k_perm, k_obj = jax.random.split(key, 5)
     n = jax.random.randint(k_n, (), sc.n_objects[0], sc.n_objects[1] + 1)
@@ -352,18 +372,12 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
     img = base + 6.0 * jax.random.normal(k_noise, (H, W))
     cells = jax.random.permutation(k_perm, g * g)[:P]
 
-    yy, xx = jnp.mgrid[0:H, 0:W]
-    yy = yy.astype(jnp.float32)
-    xx = xx.astype(jnp.float32)
-
-    polys = jnp.zeros((P, sc.max_verts, 2), jnp.float32)
-    n_verts = jnp.zeros(P, jnp.int32)
-    class_ids = jnp.zeros(P, jnp.int32)
-
     bw_hi = max(41.0, min(108.0, W / 2))
     bh_hi = max(25.0, min(60.0, H / 3))
 
-    for i in range(P):
+    def draw(i, cell):
+        """Per-object random parameters (same draw order as the original
+        unrolled loop, so scenes stay deterministic per seed)."""
         ks = jax.random.split(jax.random.fold_in(k_obj, i), 8)
         active = i < n
         c = jax.random.randint(ks[0], (), 0, n_classes)
@@ -392,8 +406,8 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
             ),
         )
         bw, bh, ext_x, ext_y = bw * s, bh * s, ext_x * s, ext_y * s
-        row = (cells[i] // g).astype(jnp.float32)
-        col = (cells[i] % g).astype(jnp.float32)
+        row = (cell // g).astype(jnp.float32)
+        col = (cell % g).astype(jnp.float32)
         cx0 = sc.margin + col * cell_w + cell_w / 2
         cy0 = sc.margin + row * cell_h + cell_h / 2
         jx = jax.random.uniform(ks[5], (), minval=-1.0, maxval=1.0)
@@ -411,30 +425,67 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
             kk[3], (), 0, 2**31 - 1, dtype=jnp.int32
         ).astype(jnp.uint32)
 
-        # inverse-rotate scene pixels into the object frame
-        rx = xx - cx
-        ry = yy - cy
-        u = cth * rx + sth * ry + bw / 2
-        v = -sth * rx + cth * ry + bh / 2
-        inside = (u >= 0) & (u < bw) & (v >= 0) & (v < bh) & active
-        d1 = _texel_1d(u, v, bw, bh, module_px, phase1d, T, c)
-        dp = _texel_postal(u, v, bw, bh, phasep, T, c)
-        d2 = _texel_2d(u, v, bw, bh, seed2d, T, c)
-        dark = jnp.where(grp == _G1D, d1, jnp.where(grp == _GPOSTAL, dp, d2))
-        img = jnp.where(inside, 255.0 * (1.0 - dark), img)
-
         half = jnp.stack([bw / 2, bh / 2])
-        signs = jnp.array(
-            [[-1, -1], [1, -1], [1, 1], [-1, 1]], jnp.float32
-        )
+        signs = jnp.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], jnp.float32)
         rot = jnp.array([[cth, -sth], [sth, cth]])
         corners = (signs * half) @ rot.T + jnp.stack([cx, cy])
-        pad_v = jnp.zeros((sc.max_verts, 2), jnp.float32)
-        pad_v = pad_v.at[:4].set(corners)
-        polys = polys.at[i].set(jnp.where(active, pad_v, 0.0))
-        n_verts = n_verts.at[i].set(jnp.where(active, 4, 0))
-        class_ids = class_ids.at[i].set(jnp.where(active, 1 + c, 0))
+        return dict(
+            active=active, c=c, grp=grp, bw=bw, bh=bh, cth=cth, sth=sth,
+            cx=cx, cy=cy, module_px=module_px, phase1d=phase1d,
+            phasep=phasep, seed2d=seed2d, corners=corners,
+        )
 
+    o = jax.vmap(draw)(jnp.arange(P), cells)
+
+    polys = jnp.zeros((P, sc.max_verts, 2), jnp.float32)
+    polys = polys.at[:, :4].set(
+        jnp.where(o["active"][:, None, None], o["corners"], 0.0)
+    )
+    n_verts = jnp.where(o["active"], 4, 0).astype(jnp.int32)
+    class_ids = jnp.where(o["active"], 1 + o["c"], 0).astype(jnp.int32)
+
+    x0 = jnp.clip(jnp.round(o["cx"]).astype(jnp.int32) - wsx // 2, 0, W - wsx)
+    y0 = jnp.clip(jnp.round(o["cy"]).astype(jnp.int32) - wsy // 2, 0, H - wsy)
+    wyy, wxx = jnp.mgrid[0:wsy, 0:wsx]
+    wyy = wyy.astype(jnp.float32)
+    wxx = wxx.astype(jnp.float32)
+
+    def render(oo, ox, oy):
+        """Object texture on its window (window coords -> object frame)."""
+        c = oo["c"]
+        rx = (wxx + ox) - oo["cx"]
+        ry = (wyy + oy) - oo["cy"]
+        u = oo["cth"] * rx + oo["sth"] * ry + oo["bw"] / 2
+        v = -oo["sth"] * rx + oo["cth"] * ry + oo["bh"] / 2
+        inside = (
+            (u >= 0) & (u < oo["bw"]) & (v >= 0) & (v < oo["bh"])
+            & oo["active"]
+        )
+        d1 = _texel_1d(
+            u, v, oo["bw"], oo["bh"], oo["module_px"], oo["phase1d"], T, c
+        )
+        dp = _texel_postal(u, v, oo["bw"], oo["bh"], oo["phasep"], T, c)
+        d2 = _texel_2d(u, v, oo["bw"], oo["bh"], oo["seed2d"], T, c)
+        dark = jnp.where(
+            oo["grp"] == _G1D, d1,
+            jnp.where(oo["grp"] == _GPOSTAL, dp, d2),
+        )
+        return 255.0 * (1.0 - dark), inside
+
+    vals, insides = jax.vmap(render)(o, x0.astype(jnp.float32),
+                                     y0.astype(jnp.float32))
+
+    def comp(im, xs):
+        val, ins, oy, ox = xs
+        cur = jax.lax.dynamic_slice(im, (oy, ox), (wsy, wsx))
+        return (
+            jax.lax.dynamic_update_slice(
+                im, jnp.where(ins, val, cur), (oy, ox)
+            ),
+            None,
+        )
+
+    img, _ = jax.lax.scan(comp, img, (vals, insides, y0, x0))
     img = jnp.clip(img, 0.0, 255.0)
     return img, polys, n_verts, class_ids
 
