@@ -121,6 +121,22 @@ def calibrate_scales(params, cfg, calib_images, margin: float = 1.3):
     calibration pool.  Merge pools of different image shapes with an
     elementwise jnp.minimum over the per-layer vectors (smaller scale =
     larger observed range), then ``build_qparams``."""
+    # Calibrate on <=512^2 tiles: absmax statistics are translation-
+    # invariant conv outputs, so tiling large scans only perturbs values
+    # inside the receptive field of tile borders — noise well inside the
+    # 1.3x margin.  The alternative (the f32 HIGHEST whole-image forward
+    # at 2048^2) sits in XLA's degraded large-spatial conv regime and
+    # compiles for minutes — exactly what the packed serving route avoids.
+    N, H, W = calib_images.shape[:3]
+    if max(H, W) > 512:
+        th, tw = min(H, 512), min(W, 512)
+        ny, nx = H // th, W // tw
+        calib_images = (
+            calib_images[:, : ny * th, : nx * tw]
+            .reshape(N, ny, th, nx, tw, 1)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(N * ny * nx, th, tw, 1)
+        )
     acts, _ = jax.jit(lambda x: trunk_intermediates(params, x, cfg))(
         calib_images
     )
@@ -164,14 +180,16 @@ def build_qparams(params, cfg, a_scales) -> dict:
     }
 
 
-def _qconv(qx, layer, s_out, strides, dil):
+def _qconv(qx, layer, s_out, strides, dil, padding="SAME"):
     """int8 conv -> int32 -> fused dequant+bias+ReLU+requant -> int8.
 
     The input activation scales are already folded into ``layer["q"]``
     (quantize_trunk), so dequant is just the per-output-channel ws.
-    s_out=None returns the f32 pre-requant activation (head/logits)."""
+    s_out=None returns the f32 pre-requant activation (head/logits).
+    ``padding``: explicit ((0, 1), (0, 1)) on the packed stride-2 stem
+    (SAME-equivalent for even sizes, matching packed_stem_apply)."""
     acc = lax.conv_general_dilated(
-        qx, layer["q"], strides, "SAME", rhs_dilation=dil,
+        qx, layer["q"], strides, padding, rhs_dilation=dil,
         dimension_numbers=_DIMS, preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * layer["ws"] + layer["b"]
@@ -191,18 +209,7 @@ def int8_trunk_apply(qparams, x, cfg, raw_gray: bool = False) -> jax.Array:
     Drop-in for ``fused_model_apply``: feed the logits to
     ``postprocess_batch_fused`` unchanged.
     """
-    if raw_gray:
-        qx = jnp.clip(
-            jnp.round(x.astype(jnp.float32) * (127.0 / 127.5) - 127.0),
-            -127,
-            127,
-        ).astype(jnp.int8)[..., None]
-    else:
-        qx = (
-            jnp.clip(jnp.round(x.astype(jnp.float32) * 127.0), -127, 127)
-            .astype(jnp.int8)
-            .reshape(x.shape[:3] + (1,))
-        )
+    qx = _quantize_input(x, raw_gray)
     s = qparams["s_in"]
     L = qparams["layers"]
     qx = _qconv(qx, L[0], s[1], (2, 2), (1, 1))
@@ -210,3 +217,95 @@ def int8_trunk_apply(qparams, x, cfg, raw_gray: bool = False) -> jax.Array:
     for li, d in enumerate(cfg.dilations):
         qx = _qconv(qx, L[2 + li], s[3 + li], (1, 1), (d, d))
     return _qconv(qx, qparams["head"], None, (1, 1), (1, 1))
+
+
+def _quantize_input(x, raw_gray: bool) -> jax.Array:
+    """Input pixel quantization shared by the direct and packed trunks:
+    normalized f32 [-1, 1] (or raw [0, 255] grayscale) -> int8, the
+    normalize folded into the rounding (one fused round per pixel)."""
+    if raw_gray:
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (127.0 / 127.5) - 127.0),
+            -127,
+            127,
+        ).astype(jnp.int8)[..., None]
+    return (
+        jnp.clip(jnp.round(x.astype(jnp.float32) * 127.0), -127, 127)
+        .astype(jnp.int8)
+        .reshape(x.shape[:3] + (1,))
+    )
+
+
+def _packed_layer(layer, pack_fn, s_out):
+    """Pack one quantized layer's int8 kernel with ``pack_fn`` and 4x-tile
+    its per-output-channel dequant/requant vectors.
+
+    Exactness: both pack functions (context_kernel._pack_stride2_kernel /
+    _pack_s2d_kernel) place the ORIGINAL int8 kernel values into disjoint
+    blocks (zeros elsewhere; int8 zero contributes 0 to the int32
+    accumulator, matching the original SAME zero padding), so every packed
+    int32 accumulator equals its unpacked counterpart bit-for-bit.  Output
+    channels are phase-major (q*Co + co), so ws/b/s_out tile by 4."""
+    packed = pack_fn(layer["q"])
+    kp, dil = packed if isinstance(packed, tuple) else (packed, None)
+    return (
+        dict(q=kp, ws=jnp.tile(layer["ws"], 4), b=jnp.tile(layer["b"], 4)),
+        None if s_out is None else jnp.tile(s_out, 4),
+        dil,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "raw_gray", "unpack"))
+def int8_packed_trunk_apply(
+    qparams, x, cfg, raw_gray: bool = False, unpack: bool = False
+) -> jax.Array:
+    """``int8_trunk_apply`` computed entirely in s=2 space-to-depth-packed
+    layout — the large-scan int8 serving route.
+
+    Same motivation as the bf16 packed trunk (context_kernel
+    packed_fused_trunk): at >=1024px XLA's conv emitter collapses on
+    C=24 whole-image convs (and compiles for minutes at 2048px); packing
+    2x2 pixels into channels runs 96-lane convs on quarter-area maps.
+    The packed int8 kernels are the ORIGINAL quantized int8 values placed
+    block-wise (_packed_layer), so the int32 accumulators — and therefore
+    every requantized activation and the f32 logits — match the direct
+    int8 path bit-for-bit (tests/test_quant.py).  Requires H, W % 8 == 0.
+
+    Returns phase-major packed logits (B, H/8, W/8, 4*O) for
+    ``postprocess_batch_fused(..., packed_phases=(2, 2))``; ``unpack``
+    depth-to-spaces back to (B, H/4, W/4, O).
+    """
+    from ubdvss_tpu.ops.pallas.context_kernel import (
+        _d2s,
+        _pack_s2d_kernel,
+        _pack_stride2_kernel,
+        _s2d,
+    )
+
+    B, H, W = x.shape[:3]
+    assert H % 8 == 0 and W % 8 == 0, "packed int8 trunk needs H, W % 8 == 0"
+    qx = _s2d(_quantize_input(x, raw_gray))  # (B, H/2, W/2, 4) int8
+    s = qparams["s_in"]
+    L = qparams["layers"]
+    pad = ((0, 1), (0, 1))
+    for i in range(2):
+        layer, s_out, _ = _packed_layer(L[i], _pack_stride2_kernel, s[i + 1])
+        qx = _qconv(qx, layer, s_out, (2, 2), (1, 1), padding=pad)
+    for li, d in enumerate(cfg.dilations):
+        layer, s_out, dp = _packed_layer(
+            L[2 + li], lambda k, d=d: _pack_s2d_kernel(k, d), s[3 + li]
+        )
+        qx = _qconv(qx, layer, s_out, (1, 1), (dp, dp))
+    # 1x1 head: block-diagonal over phases (each phase maps C -> O)
+    hq = qparams["head"]["q"]  # (1, 1, C, O) int8
+    C, O = hq.shape[2], hq.shape[3]
+    KH = jnp.zeros((1, 1, 4 * C, 4 * O), jnp.int8)
+    for p in range(4):
+        KH = KH.at[0, 0, p * C:(p + 1) * C, p * O:(p + 1) * O].set(hq[0, 0])
+    head = dict(
+        q=KH,
+        ws=jnp.tile(qparams["head"]["ws"], 4),
+        b=jnp.tile(qparams["head"]["b"], 4),
+    )
+    out = _qconv(qx, head, None, (1, 1), (1, 1))
+    return _d2s(out, O) if unpack else out
