@@ -73,6 +73,99 @@ def test_raw_gray_input_quantization_exact():
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_packed_int8_trunk_bit_exact():
+    """The s=2-packed int8 trunk (large-scan serving route) reproduces the
+    direct int8 path bit-for-bit: packed kernels place the original int8
+    values block-wise, so every int32 accumulator — and the f32 logits —
+    is identical (ops/quant._packed_layer exactness note)."""
+    from ubdvss_tpu.ops.quant import int8_packed_trunk_apply
+
+    cfg = _cfg()
+    params = init_params(cfg, 0)
+    raw, norm = _images(n=2, hw=(128, 136))
+    q = quantize_trunk(params, cfg, norm)
+    direct = int8_trunk_apply(q, norm, cfg)
+    packed = int8_packed_trunk_apply(q, norm, cfg, unpack=True)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(direct))
+    # raw-grayscale input quantization folds identically on the packed path
+    packed_raw = int8_packed_trunk_apply(q, raw, cfg, raw_gray=True, unpack=True)
+    np.testing.assert_array_equal(np.asarray(packed_raw), np.asarray(direct))
+
+
+def test_packed_int8_phase_major_layout():
+    """Without unpack the packed logits are phase-major (B, H/8, W/8, 4*O)
+    and postprocess_batch_fused(packed_phases=(2, 2)) consumes them with
+    identical detections to the unpacked logits."""
+    from ubdvss_tpu.ops.postproc import postprocess_batch_fused
+    from ubdvss_tpu.ops.quant import int8_packed_trunk_apply
+
+    cfg = _cfg()
+    params = init_params(cfg, 0)
+    _, norm = _images(n=2, hw=(128, 128))
+    q = quantize_trunk(params, cfg, norm)
+    O = 1 + cfg.n_classes
+    pk = int8_packed_trunk_apply(q, norm, cfg)
+    assert pk.shape == (2, 16, 16, 4 * O)
+    up = int8_packed_trunk_apply(q, norm, cfg, unpack=True)
+    rp = jax.device_get(
+        postprocess_batch_fused(pk, cfg, interpret=True, packed_phases=(2, 2))
+    )
+    ru = jax.device_get(postprocess_batch_fused(up, cfg, interpret=True))
+    np.testing.assert_array_equal(rp["valid"], ru["valid"])
+    np.testing.assert_array_equal(rp["num_detections"], ru["num_detections"])
+    v = np.asarray(ru["valid"])
+    np.testing.assert_allclose(
+        np.asarray(rp["boxes"])[v], np.asarray(ru["boxes"])[v], atol=1e-4
+    )
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_int8_large_scan_packed_route_tpu():
+    """detect_program_batch(qparams=...) at >=1024px auto-routes through the
+    packed int8 trunk (the direct int8 trunk at this size sits in XLA's
+    degraded large-spatial conv regime — compiling it here is exactly what
+    the route avoids, so packed-vs-direct bit-exactness is locked at small
+    scale in test_packed_int8_trunk_bit_exact instead).  This test checks
+    the large-scan plumbing on the real chip: the route compiles, the
+    returned logits are the unpacked packed-trunk logits, and detections on
+    the pretrained asset match the bf16/f32 fused route."""
+    import os
+
+    from ubdvss_tpu.inference import detect_program_batch
+    from ubdvss_tpu.ops.quant import int8_packed_trunk_apply
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.utils.checkpoint import load_params_npz
+
+    cfg = NetConfig(max_components=16, min_component_area=3)
+    params = load_params_npz(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "assets", "pretrained_synthetic.npz"),
+        init_params(cfg, 0),
+    )
+    reader = SyntheticMarkupReader(n_samples=2, image_hw=(1024, 1024), seed=5)
+    imgs = jnp.stack(
+        [jnp.asarray(reader.sample_at(i).image) for i in range(2)]
+    )
+    _, calib = _images(n=8, hw=(512, 512), seed=77)
+    q = quantize_trunk(params, cfg, calib)
+    res, logits = detect_program_batch(
+        params, imgs, cfg, (1024, 1024), qparams=q
+    )
+    want = int8_packed_trunk_apply(
+        q, imgs.astype(jnp.float32), cfg, raw_gray=True, unpack=True
+    )
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(want))
+    ref, _ = detect_program_batch(params, imgs, cfg, (1024, 1024))
+    res, ref = jax.device_get((res, ref))
+    np.testing.assert_array_equal(res["valid"], ref["valid"])
+    np.testing.assert_array_equal(res["classes"], ref["classes"])
+    v = np.asarray(ref["valid"])
+    np.testing.assert_allclose(
+        np.asarray(res["boxes"])[v], np.asarray(ref["boxes"])[v], atol=1.5
+    )
+
+
 @pytest.mark.slow
 def test_int8_detections_match_f32():
     """Quantized trunk + standard fused postprocessing finds the same

@@ -149,21 +149,35 @@ def _detect_program_batch_int8(
     qparams, imgs, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str
 ):
     """int8 serving pipeline: quantized trunk (ops/quant.py) + the same
-    fused postprocessing; whole-image at any size (no strip/packed routing
-    — the int8 convs already run at double MXU rate)."""
+    fused postprocessing.  Large scans (>=1024px, same threshold as the
+    bf16 ``_auto_two_stage`` route) run the s=2-packed int8 trunk
+    (quant.int8_packed_trunk_apply — bit-identical accumulators,
+    tests/test_quant.py) and hand the phase-major packed logits straight
+    to postprocessing, mirroring the bf16 packed serving route."""
     from ubdvss_tpu.ops.postproc import postprocess_batch_fused
     from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
-    from ubdvss_tpu.ops.quant import int8_trunk_apply
+    from ubdvss_tpu.ops.quant import int8_packed_trunk_apply, int8_trunk_apply
 
+    packed = max(out_hw) >= 1024 and out_hw[0] % 8 == 0 and out_hw[1] % 8 == 0
+    trunk = int8_packed_trunk_apply if packed else int8_trunk_apply
     x = imgs.astype(jnp.float32)
     if x.ndim == 4:
         x = rgb_to_grayscale(x, channel_order) if x.shape[-1] == 3 else x[..., 0]
     if x.shape[1:] == out_hw:
-        logits = int8_trunk_apply(qparams, x, cfg, raw_gray=True)
+        logits = trunk(qparams, x, cfg, raw_gray=True)
     else:
         x = normalize(jax.vmap(lambda im: resize_bilinear(im, out_hw))(x))
-        logits = int8_trunk_apply(qparams, x[..., None], cfg)
-    return postprocess_batch_fused(logits, cfg), logits
+        logits = trunk(qparams, x[..., None], cfg)
+    res = postprocess_batch_fused(
+        logits, cfg, packed_phases=(2, 2) if packed else None
+    )
+    if packed:
+        from ubdvss_tpu.ops.pallas.context_kernel import _d2s
+
+        # unpacked logits for the API contract; dead-code eliminated when
+        # the caller only consumes detections (same as the bf16 route)
+        logits = _d2s(logits, logits.shape[-1] // 4)
+    return res, logits
 
 
 @functools.partial(
