@@ -19,6 +19,124 @@ import time
 import numpy as np
 
 
+def _h2d_mbps(n: int = 3, nbytes: int = 1 << 24) -> float:
+    """Quick host->device bandwidth sample (uint8, ~16 MB buffers).
+
+    The dev chip's tunneled link varies ~50x run-to-run (measured 25 MB/s
+    to 1.4 GB/s on 2026-08-20), so every feed-inclusive row embeds the
+    link bandwidth measured IN THE SAME RUN — the number that explains
+    whether the row was feed-bound that day.
+    """
+    import jax
+
+    buf = np.random.default_rng(0).integers(
+        0, 256, (nbytes,), np.uint8
+    )
+    x = jax.device_put(buf)
+    jax.block_until_ready(x)  # transfer-path warmup
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = jax.device_put(buf)
+        jax.block_until_ready(x)
+    return buf.nbytes * n / (time.perf_counter() - t0) / 1e6
+
+
+def _train_epoch_stages(args, cfg, dc, batches, B, S, n_samples):
+    """Per-stage ms/batch for the train-epoch pipeline (--stage-breakdown).
+
+    Stages are timed as standalone jitted programs with the scalar-chain
+    method, so the numbers localize cost but need not sum exactly to the
+    e2e figure (the fused epoch program can overlap/fuse across stage
+    boundaries that are barriers here).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ubdvss_tpu.data import device_batch_step
+    from ubdvss_tpu.train import create_train_state, train_step
+
+    iters = max(4, args.iters // 2)
+    key = jax.random.PRNGKey(123)
+    out = {}
+
+    def timed(fn, n=iters):
+        acc = fn(0)
+        float(jax.device_get(acc))  # compile + warm
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for i in range(n):
+            acc = acc + fn(i)
+        float(jax.device_get(acc))
+        return (time.perf_counter() - t0) / n * 1e3
+
+    if args.device_synth:
+        from ubdvss_tpu.synthgen import generate_scene
+
+        sc = batches.sc
+
+        @jax.jit
+        def gen_probe(k):
+            keys = jax.random.split(k, B)
+            imgs, polys, nv, ci = jax.vmap(
+                lambda kk: generate_scene(kk, sc)
+            )(keys)
+            return imgs.sum() + polys.sum() + nv.sum() + ci.sum()
+
+        out["generate"] = round(
+            timed(lambda i: gen_probe(jax.random.fold_in(key, i))), 2
+        )
+        keys = jax.random.split(key, B)
+        imgs, polys, nv, ci = jax.jit(
+            jax.vmap(lambda kk: generate_scene(kk, sc))
+        )(keys)
+
+        @jax.jit
+        def prep_probe(k):
+            b = device_batch_step(k, imgs, polys, nv, ci, cfg, dc, True)
+            return b["images"].sum() + b["segmap"].sum()
+
+        out["augment_rasterize"] = round(
+            timed(lambda i: prep_probe(jax.random.fold_in(key, i + 7))), 2
+        )
+        batch = device_batch_step(
+            jax.random.fold_in(key, 9), imgs, polys, nv, ci, cfg, dc, True
+        )
+    else:
+        samples = list(batches._samples[:B])
+        t0 = time.perf_counter()
+        n_collate = 3
+        for _ in range(n_collate):
+            x, p, nv, ci = batches._host_collate(samples)
+        jax.block_until_ready(x)
+        out["host_collate_h2d"] = round(
+            (time.perf_counter() - t0) / n_collate * 1e3, 2
+        )
+        imgs, polys = x, p
+
+        @jax.jit
+        def prep_probe(k):
+            b = device_batch_step(k, imgs, polys, nv, ci, cfg, dc, True)
+            return b["images"].sum() + b["segmap"].sum()
+
+        out["augment_rasterize"] = round(
+            timed(lambda i: prep_probe(jax.random.fold_in(key, i + 7))), 2
+        )
+        batch = device_batch_step(
+            jax.random.fold_in(key, 9), imgs, polys, nv, ci, cfg, dc, True
+        )
+
+    state = create_train_state(cfg, lr=1e-3)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, m = train_step(state, batch, cfg)
+    float(jax.device_get(m["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, batch, cfg)
+    float(jax.device_get(m["loss"]))
+    out["train_step"] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=512)
@@ -37,13 +155,18 @@ def main():
     p.add_argument("--postproc", default="on", choices=["on", "off"],
                    help="off = preproc+FCN only (diagnostic)")
     p.add_argument("--mode", default="infer",
-                   choices=["infer", "train", "train-epoch", "stream"],
+                   choices=["infer", "train", "train-epoch", "stream", "h2d"],
                    help="train = jitted train-step throughput (fwd+bwd+adam, "
                         "one cached batch); train-epoch = sustained epochs "
                         "through the full input pipeline (host collate -> "
                         "device aug/rasterize -> step, fresh batches); "
                         "stream = StreamingDetector with frames originating "
-                        "on host (H2D feed INCLUDED)")
+                        "on host (H2D feed INCLUDED); h2d = host->device "
+                        "bandwidth microbench (uint8 image batches), the "
+                        "number that explains feed-bound rows")
+    # equals NetConfig.max_components' default (net_config.py sizing rule),
+    # so the recorded headline is the production configuration; crowded
+    # rows override BOTH this and --n-objects (e.g. 64 / 12 16)
     p.add_argument("--max-components", type=int, default=16)
     p.add_argument("--n-objects", type=int, nargs=2, default=(2, 5),
                    metavar=("LO", "HI"),
@@ -57,6 +180,15 @@ def main():
                         "batches — the zero-host-link training pipeline")
     p.add_argument("--epochs", type=int, default=3,
                    help="train-epoch mode: measured epochs (after 1 warmup)")
+    p.add_argument("--stage-breakdown", action="store_true",
+                   help="train-epoch mode: also time each pipeline stage "
+                        "separately (generate-or-collate / augment+rasterize "
+                        "/ train step, ms per batch) — the per-stage "
+                        "localization VERDICT r3 item 2 asked for")
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="train-epoch mode: host-feed prefetch depth "
+                        "(utils/prefetch.py; 0 = synchronous feed, the "
+                        "pre-r4 behavior)")
     p.add_argument("--frames", type=int, default=512,
                    help="stream mode: total frames to feed")
     p.add_argument("--strips", type=int, default=None,
@@ -165,37 +297,87 @@ def main():
                 n_objects=tuple(args.n_objects),
             )
             batches = Batches(reader, cfg, dc, train=True)
+        from ubdvss_tpu.utils.prefetch import prefetched
+
+        def feed(e):
+            it = batches.epoch(e)
+            if not args.device_synth and args.prefetch_depth > 0:
+                # feed/compute overlap (Trainer.fit does the same): host
+                # collate + H2D of batch N+1 run while step N executes
+                it = prefetched(it, depth=args.prefetch_depth)
+            return it
+
         state = create_train_state(cfg, lr=1e-3)
         m = None
-        for batch in batches.epoch(0):  # warmup epoch: renders + compiles
+        for batch in feed(0):  # warmup epoch: renders + compiles
             state, m = train_step(state, batch, cfg)
         float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
         n_imgs = 0
         for e in range(1, args.epochs + 1):
-            for batch in batches.epoch(e):
+            for batch in feed(e):
                 state, m = train_step(state, batch, cfg)
                 n_imgs += B
         float(jax.device_get(m["loss"]))  # chained through donated state
         dt = time.perf_counter() - t0
         ips = n_imgs / dt
+        config = {"batch_size": B, "image_size": S,
+                  "dtype": args.dtype, "epoch_samples": n_samples,
+                  "epochs": args.epochs,
+                  "prefetch_depth": (0 if args.device_synth
+                                     else args.prefetch_depth),
+                  "pipeline": (
+                      "device-synth (on-device generate + aug + "
+                      "rasterize + step; zero host feed)"
+                      if args.device_synth else
+                      "full (host collate + device aug + "
+                      "rasterize + step)"
+                  )}
+        if not args.device_synth:
+            # same-run link bandwidth: feed-bound rows carry their own
+            # explanation (the tunneled link varies ~50x day to day)
+            config["h2d_mbps"] = round(_h2d_mbps(), 1)
+        if args.stage_breakdown:
+            config["stages_ms_per_batch"] = _train_epoch_stages(
+                args, cfg, dc, batches, B, S, n_samples
+            )
         print(json.dumps({
             "metric": f"train_epoch_images_per_sec_{S}_per_chip",
             "value": round(ips, 1),
             "unit": "img/s",
             "vs_baseline": round(ips / 5000.0, 4),
-            "config": {"batch_size": B, "image_size": S,
-                       "dtype": args.dtype, "epoch_samples": n_samples,
-                       "epochs": args.epochs,
-                       "pipeline": (
-                           "device-synth (on-device generate + aug + "
-                           "rasterize + step; zero host feed)"
-                           if args.device_synth else
-                           "full (host collate + device aug + "
-                           "rasterize + step)"
-                       )},
+            "config": config,
         }))
         return ips
+
+    if args.mode == "h2d":
+        # Host->device bandwidth microbench (VERDICT r3 item 3): the number
+        # that makes feed-bound rows self-explanatory.  Transfers uint8
+        # image batches (the wire format data.py/streaming.py actually
+        # feed) and blocks on arrival each iteration.
+        rng = np.random.default_rng(0)
+        buf = rng.integers(0, 256, (B, S, S), np.uint8)
+        x = jax.device_put(buf)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            x = jax.device_put(buf)
+            jax.block_until_ready(x)
+        dt = time.perf_counter() - t0
+        mb = buf.nbytes * args.iters / 1e6
+        mbps = mb / dt
+        ips = B * args.iters / dt
+        print(json.dumps({
+            "metric": f"h2d_uint8_mbytes_per_sec",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(ips / 5000.0, 4),
+            "config": {"batch_size": B, "image_size": S,
+                       "bytes_per_batch": int(buf.nbytes),
+                       "iters": args.iters,
+                       "images_per_sec_equivalent": round(ips, 1)},
+        }))
+        return mbps
 
     if args.mode == "stream":
         # Feed-inclusive streaming throughput (VERDICT r2 item 3 /
@@ -203,8 +385,9 @@ def main():
         # StreamingDetector overlaps H2D transfer with compute (double
         # buffering) and detection tensors come back per frame.  This is
         # the number that closes BASELINE.md's "excluding H2D feed" caveat.
-        # NOTE: on the tunneled dev chip the host link is ~25 MB/s, so this
-        # row is a LOWER bound — production hosts attach over PCIe.
+        # NOTE: the tunneled dev chip adds ~25 ms round-trip latency per
+        # host<->device sync (measure raw bandwidth with --mode h2d), so
+        # this row is a LOWER bound — production hosts attach over PCIe.
         from ubdvss_tpu.streaming import StreamingDetector
 
         reader = SyntheticMarkupReader(
@@ -223,20 +406,42 @@ def main():
             pass
         t0 = time.perf_counter()
         n_out = 0
+        t_prev = t0
+        inter = []  # inter-frame arrival times (latency mode: B=1)
         for _idx, _det in sd.process(frames):
             n_out += 1
+            t_now = time.perf_counter()
+            inter.append(t_now - t_prev)
+            t_prev = t_now
         dt = time.perf_counter() - t0
         assert n_out == len(frames)
         ips = n_out / dt
+        config = {"batch_size": sd.batch_size, "image_size": S,
+                  "dtype": args.dtype, "frames": len(frames),
+                  # the feed cycles a 64-frame host pool (H2D load is
+                  # real per frame; render cost is amortized)
+                  "frame_pool": len(pool),
+                  # same-run link bandwidth (varies ~50x day to day on
+                  # the tunneled chip) — the feed-bound explanation
+                  "h2d_mbps": round(_h2d_mbps(), 1),
+                  "pipeline": "host uint8 frames -> H2D -> fused "
+                              "detect -> D2H detections"}
+        if sd.batch_size == 1:
+            # per-frame inter-arrival percentiles; end-to-end latency of a
+            # single frame adds one pipeline stage on top (results sync
+            # one batch behind — streaming.py double buffering)
+            config["inter_frame_ms_p50"] = round(
+                float(np.percentile(inter, 50)) * 1e3, 2
+            )
+            config["inter_frame_ms_p90"] = round(
+                float(np.percentile(inter, 90)) * 1e3, 2
+            )
         print(json.dumps({
             "metric": f"stream_images_per_sec_{S}_feed_inclusive",
             "value": round(ips, 1),
             "unit": "img/s",
             "vs_baseline": round(ips / 5000.0, 4),
-            "config": {"batch_size": sd.batch_size, "image_size": S,
-                       "dtype": args.dtype, "frames": len(frames),
-                       "pipeline": "host uint8 frames -> H2D -> fused "
-                                   "detect -> D2H detections"},
+            "config": config,
         }))
         return ips
 
@@ -250,9 +455,12 @@ def main():
     if args.postproc == "on":
         @jax.jit
         def run(imgs):
+            # detections_only: the serving caller never reads the logits
+            # output, and a jit output is never DCE'd (at 512^2/B=512 the
+            # f32 logits view alone is ~142 MB/batch of HBM writes)
             res, _ = detect_program_batch(
                 params, imgs, cfg, (S, S), fused=True, n_strips=args.strips,
-                qparams=qparams,
+                qparams=qparams, detections_only=True,
             )
             return (
                 jnp.sum(res["boxes"])

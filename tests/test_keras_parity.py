@@ -51,10 +51,10 @@ def test_loss_parity_on_logits():
         # one all-background image exercises the k = ratio floor
         segmap[0] = 0
 
-        jl, jaux = jax.value_and_grad(
+        jloss, jgrad = jax.value_and_grad(
             lambda lg: total_loss(lg, jnp.asarray(segmap), cfg)[0]
-        )(jnp.asarray(logits)), None
-        jloss, jgrad = float(jl[0]), np.asarray(jl[1])
+        )(jnp.asarray(logits))
+        jloss, jgrad = float(jloss), np.asarray(jgrad)
 
         lt = tf.constant(logits)
         with tf.GradientTape() as tape:

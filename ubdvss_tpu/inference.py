@@ -110,6 +110,7 @@ def detect_program_batch(
     fused: bool | None = None,
     n_strips: int | None = None,
     qparams=None,
+    detections_only: bool = False,
 ):
     """Batched pipeline: (B, H, W[, C]) images -> batched detection tensors.
 
@@ -120,13 +121,18 @@ def detect_program_batch(
     trunk for large scans (None = auto, 1 = off; ops/strips.py).
     ``qparams`` (ops/quant.quantize_trunk) swaps the trunk for the int8
     quantized forward — the serving perf mode; detection equivalence per
-    tests/test_quant.py.
+    tests/test_quant.py.  ``detections_only=True`` returns (res, None) and
+    skips materializing the full-resolution logits output — logits are a
+    jit OUTPUT, so they are NOT dead-code eliminated for callers that
+    ignore them (e.g. at 512^2/B=512 the f32 view alone is ~142 MB/batch
+    of HBM writes); serving callers that only consume detections should
+    set it (ADVICE r3).
     """
     if fused is None:
         fused = _default_device_is_tpu()
     if qparams is not None:
         return _detect_program_batch_int8(
-            qparams, imgs, cfg, out_hw, channel_order
+            qparams, imgs, cfg, out_hw, channel_order, detections_only
         )
     # fused path covers heatmaps up to 512x512 (2048px inputs, BASELINE
     # config 4): the context module auto-selects dense-equivalent MXU convs
@@ -139,26 +145,41 @@ def detect_program_batch(
         params, imgs, cfg, out_hw, channel_order, fused,
         _auto_strips(cfg, out_hw, n_strips),
         _auto_two_stage(cfg, out_hw, n_strips, fused),
+        detections_only,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "out_hw", "channel_order")
+    jax.jit,
+    static_argnames=("cfg", "out_hw", "channel_order", "detections_only"),
 )
 def _detect_program_batch_int8(
-    qparams, imgs, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str
+    qparams, imgs, cfg: NetConfig, out_hw: tuple[int, int], channel_order: str,
+    detections_only: bool = False,
 ):
     """int8 serving pipeline: quantized trunk (ops/quant.py) + the same
-    fused postprocessing.  Large scans (>=1024px, same threshold as the
-    bf16 ``_auto_two_stage`` route) run the s=2-packed int8 trunk
+    fused postprocessing.  Large scans run the s=2-packed int8 trunk
     (quant.int8_packed_trunk_apply — bit-identical accumulators,
     tests/test_quant.py) and hand the phase-major packed logits straight
-    to postprocessing, mirroring the bf16 packed serving route."""
+    to postprocessing, mirroring the bf16 packed serving route; the gate
+    mirrors ``packed_trunk_selected`` — the same measured win condition
+    ((H/4)*(W/4) >= 256^2 feature area) and s2d-compatibility checks
+    (dims %8, even-or-1 dilations), so odd-dilation or elongated configs
+    fall back to the direct int8 trunk instead of crashing/losing
+    (ADVICE r3).  No separable_context requirement: the int8 trunk always
+    quantizes dense context kernels (quant._dense_context_kernels covers
+    both architectures), so packing applies to either."""
     from ubdvss_tpu.ops.postproc import postprocess_batch_fused
     from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
     from ubdvss_tpu.ops.quant import int8_packed_trunk_apply, int8_trunk_apply
 
-    packed = max(out_hw) >= 1024 and out_hw[0] % 8 == 0 and out_hw[1] % 8 == 0
+    packed = (
+        cfg.scale == 4
+        and out_hw[0] % 8 == 0
+        and out_hw[1] % 8 == 0
+        and all(d == 1 or d % 2 == 0 for d in cfg.dilations)
+        and (out_hw[0] // 4) * (out_hw[1] // 4) >= 256 * 256
+    )
     trunk = int8_packed_trunk_apply if packed else int8_trunk_apply
     x = imgs.astype(jnp.float32)
     if x.ndim == 4:
@@ -171,11 +192,13 @@ def _detect_program_batch_int8(
     res = postprocess_batch_fused(
         logits, cfg, packed_phases=(2, 2) if packed else None
     )
+    if detections_only:
+        # skip the depth-to-space unpack + full-res logits output entirely
+        # (a jit output is never DCE'd — it materializes in HBM)
+        return res, None
     if packed:
         from ubdvss_tpu.ops.pallas.context_kernel import _d2s
 
-        # unpacked logits for the API contract; dead-code eliminated when
-        # the caller only consumes detections (same as the bf16 route)
         logits = _d2s(logits, logits.shape[-1] // 4)
     return res, logits
 
@@ -183,7 +206,8 @@ def _detect_program_batch_int8(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "out_hw", "channel_order", "fused", "n_strips", "two_stage"
+        "cfg", "out_hw", "channel_order", "fused", "n_strips", "two_stage",
+        "detections_only",
     ),
 )
 def _detect_program_batch(
@@ -195,6 +219,7 @@ def _detect_program_batch(
     fused: bool,
     n_strips: int = 1,
     two_stage: bool = False,
+    detections_only: bool = False,
 ):
     from ubdvss_tpu.ops.postproc import postprocess_batch_fused
     from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
@@ -263,11 +288,13 @@ def _detect_program_batch(
                     return_packed=True,
                 )
             res = postprocess_batch_fused(packed, cfg, packed_phases=pp)
+            if detections_only:
+                return res, None
             if pp is not None:
                 from ubdvss_tpu.ops.pallas.context_kernel import _d2s
 
-                # unpacked logits for the API contract; dead-code
-                # eliminated when the caller only consumes detections
+                # unpacked logits for the API contract (a jit output — it
+                # materializes unless detections_only skips it)
                 logits = _d2s(packed, packed.shape[-1] // (pp[0] * pp[1]))
             else:
                 logits = packed
@@ -281,14 +308,18 @@ def _detect_program_batch(
             )
         else:
             logits = trunk(x[..., None])
-        return postprocess_batch_fused(logits, cfg), logits.astype(jnp.float32)
+        res = postprocess_batch_fused(logits, cfg)
+        if detections_only:
+            return res, None
+        return res, logits.astype(jnp.float32)
 
     def one(img):
         x = preprocess(img, out_hw, channel_order)
         logits = get_model(cfg).apply({"params": params}, x[None])[0]
         return postprocess(logits, cfg), logits
 
-    return jax.vmap(one)(imgs)
+    res, logits = jax.vmap(one)(imgs)
+    return (res, None) if detections_only else (res, logits)
 
 
 def detect_preprocessed_batch(

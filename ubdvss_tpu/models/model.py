@@ -37,11 +37,13 @@ the same step count); the separable default stays because the paper
 describes separable context convs and it wins on FLOPs at equal F1-scale —
 but ``NetConfig(separable_context=False)`` (CLI: --no-separable-context) is
 the capacity-parity configuration.  A pretrained dense checkpoint ships as
-``assets/pretrained_dense_synthetic.npz`` (400-epoch cosine schedule on
-1024 synthetic 128px scenes, classification_loss_weight=2, best-epoch
-selection by held-out object F1 + type accuracy: val P/R/F1 = 1.000 and
-type accuracy 0.636 at 128px; the cls head needs far longer schedules than
-detection, as the experiment above already showed).  Both assets carry a
+``assets/pretrained_dense_synthetic.npz`` (r2 retrain: 400-epoch cosine
+schedule on 1024 synthetic 128px scenes with per-class render signatures,
+classification_loss_weight=2, best-epoch selection by held-out object F1 +
+type accuracy: det F1 0.99 / type accuracy **0.96** at 128px, F1 0.99-1.0 /
+acc 0.94-0.96 at unseen 256-512px — BASELINE.md "Pretrained asset" row;
+the cls head needs far longer schedules than detection, as the experiment
+above already showed).  Both assets carry a
 ``<stem>.net_config.json`` sidecar so detect/evaluate rebuild the right
 architecture automatically (utils/checkpoint.load_net_config).
 """

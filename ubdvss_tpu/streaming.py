@@ -47,7 +47,8 @@ class StreamingDetector:
     def _launch(self, batch_np: np.ndarray):
         imgs = jax.device_put(batch_np)  # async H2D
         res, _ = detect_program_batch(
-            self.params, imgs, self.cfg, self.out_hw, qparams=self.qparams
+            self.params, imgs, self.cfg, self.out_hw, qparams=self.qparams,
+            detections_only=True,  # logits output never read on this path
         )  # async dispatch
         return res
 
@@ -60,6 +61,16 @@ class StreamingDetector:
         it = iter(frames)
         base = 0
         pending: tuple[int, int, dict] | None = None  # (base, count, res)
+
+        def fetch(res: dict) -> dict:
+            # issue ALL leaf D2H copies before blocking: device_get walks
+            # leaves serially, and on a remote/tunneled device each fetch
+            # is a full round trip (~25 ms here) — async-first collapses
+            # the dict to one latency instead of n_leaves (measured 8-leaf
+            # fetch 45-80 ms -> 27 ms on the axon tunnel)
+            for leaf in jax.tree.leaves(res):
+                leaf.copy_to_host_async()
+            return jax.device_get(res)
 
         def next_batch():
             buf = []
@@ -80,7 +91,7 @@ class StreamingDetector:
             res = self._launch(batch_np)  # in flight
             if pending is not None:
                 pbase, pcount, pres = pending
-                pres = jax.device_get(pres)  # sync previous batch only
+                pres = fetch(pres)  # sync previous batch only
                 for i in range(pcount):
                     yield pbase + i, jax.tree.map(lambda a: a[i], pres)
             pending = (base, n_real, res)
@@ -88,6 +99,6 @@ class StreamingDetector:
             nb = next_batch()
         if pending is not None:
             pbase, pcount, pres = pending
-            pres = jax.device_get(pres)
+            pres = fetch(pres)
             for i in range(pcount):
                 yield pbase + i, jax.tree.map(lambda a: a[i], pres)

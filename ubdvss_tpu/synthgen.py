@@ -1,14 +1,18 @@
 """On-device synthetic scene generation (zero-host training pipeline).
 
 `bench.py --mode train-epoch` measured the host-fed training pipeline at
-~40 img/s against a ~5,200 img/s train step on this host: sustained
+~150 img/s against a ~5,200 img/s train step on this host: sustained
 training is FEED-bound (H2D link + host collate), not compute-bound.  The
 TPU-native fix is to never leave the chip: this module synthesizes whole
 training batches *inside the jitted program* — procedural barcode scenes,
 exact ground-truth polygons, then the standard on-device augment →
-normalize → rasterize pipeline (`data.device_batch_step`) — so the
-sustained training rate equals the step rate regardless of host link
-bandwidth (SURVEY.md §3.1's "second hot path", fully on device).
+normalize → rasterize pipeline (`data.device_batch_step`) — removing the
+host link from the loop entirely (SURVEY.md §3.1's "second hot path",
+fully on device).  Measured sustained rate: see BASELINE.md's
+train-epoch rows and `bench.py --mode train-epoch --device-synth
+--stage-breakdown` — generation itself costs real chip time on top of
+the step, so the sustained rate is a large multiple of the host-fed
+path but below the bare step rate.
 
 Class-signature consistency: the per-class constants (1D run-length
 sequences + style flags, postal level patterns, 2D module divisor/finder

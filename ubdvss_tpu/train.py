@@ -297,10 +297,15 @@ class Trainer:
         epochs: int,
         val_batches: Batches | None = None,
     ) -> TrainState:
+        from ubdvss_tpu.utils.prefetch import prefetched
+
         step = int(self.state.step)
         metrics = None
         for epoch in range(epochs):
-            for batch in train_batches.epoch(epoch):
+            # one-deep-plus feed/compute overlap: host collate + H2D of
+            # batch N+1 run in a worker thread while the chip executes
+            # step N (the streaming.py double-buffer pattern for training)
+            for batch in prefetched(train_batches.epoch(epoch), depth=2):
                 self.state, metrics = self._step(batch)
                 step += 1
                 if step % self.log_every == 0:
@@ -509,8 +514,10 @@ def main(argv: list[str] | None = None) -> Trainer:
     )
     if args.train_data == "synthetic-device":
         # zero-host pipeline: scenes are synthesized inside the jitted
-        # program (synthgen.py) — sustained training is step-bound, not
-        # host-link-bound (bench --mode train-epoch --device-synth)
+        # program (synthgen.py) — no host-link dependence; sustained rate
+        # is bounded by generate+augment+rasterize+step chip time, not by
+        # feed (measured rows: BASELINE.md train-epoch; per-stage split:
+        # bench --mode train-epoch --device-synth --stage-breakdown)
         from ubdvss_tpu.synthgen import DeviceSyntheticBatches
 
         train_b = DeviceSyntheticBatches(
