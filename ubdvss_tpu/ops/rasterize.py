@@ -16,8 +16,9 @@ single GT boundary pixels (tests/test_rasterize.py; the empty reference
 mount makes cv2 the parity oracle, SURVEY.md §0).
 
 Static shapes throughout: polygons padded to (P, V, 2) + vertex counts;
-interior test is one fused VPU pass over pixels x polygons x edges, the
-outline is a scatter; vmappable over batch.
+interior test AND edge outline are one fused VPU pass over pixels x
+polygons x edges (both scatter- and gather-free — TPU scatters
+serialize); vmappable over batch.
 """
 
 from __future__ import annotations
@@ -48,27 +49,53 @@ def _interior_mask(px, py, x1, y1, vvalid, poly_ok, out_hw):
     return jnp.swapaxes(jax.vmap(per_row)(ys), 0, 1)  # (P, H, W)
 
 
-def _outline_mask(px, py, x1, y1, vvalid, poly_ok, out_hw, n_steps):
-    """(P, H, W) DDA rasterization of every edge (cv2 line semantics appx)."""
+def _outline_mask(px, py, x1, y1, vvalid, poly_ok, out_hw):
+    """(P, H, W) dense DDA-equivalent edge rasterization — scatter-free.
+
+    The original formulation scattered P*V*(H+W) sampled line points per
+    image; TPU scatters serialize, and that scatter dominated the whole
+    on-device target-synthesis pipeline (measured 51 ms/batch at a 32x32
+    grid x B=32 — more than the augment warp and the train step combined).
+    Dense equivalent: an x-major DDA edge (|dx| >= |dy|) covers exactly
+    the pixels (X, round(py + (X-px)*dy/dx)) for columns X between its
+    endpoints (the i-th DDA sample has major coordinate px+i*sign(dx) and
+    minor round(py + i*dy/|dx|)); y-major symmetric.  Membership is then
+    a pure broadcast-compare + OR-reduce over edges, fused by XLA into
+    the same VPU pass as the interior test.  For the integer vertices the
+    GT path produces (polygons_to_grid rounds) this is EXACTLY the DDA
+    pixel set: both paths compute the minor coordinate with one or two
+    exact small-integer float products and a division whose half-tie
+    values (.5 exactly) are representable and identical; non-integer
+    vertices may disagree with the old sampling on sub-pixel edges (not
+    oracle-tested: cv2.fillPoly itself takes integer points only).
+    """
     H, W = out_hw
+    ok = vvalid & poly_ok[:, None]  # (P, V)
     dx, dy = x1 - px, y1 - py  # (P, V)
-    L = jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)), 1.0)
-    i = jnp.arange(n_steps, dtype=jnp.float32)  # (S,)
-    t = jnp.minimum(i[None, None, :] / L[..., None], 1.0)  # (P, V, S)
-    ex = jnp.round(px[..., None] + t * dx[..., None]).astype(jnp.int32)
-    ey = jnp.round(py[..., None] + t * dy[..., None]).astype(jnp.int32)
-    ok = (vvalid & poly_ok[:, None])[..., None] & jnp.broadcast_to(
-        jnp.ones((), bool), t.shape
-    )
-    ok = ok & (ex >= 0) & (ex < W) & (ey >= 0) & (ey < H)
-    ey_flat = jnp.where(ok, ey, H)  # out-of-range rows dropped
+    xmajor = jnp.abs(dx) >= jnp.abs(dy)
+    sdx = jnp.where(dx == 0, 1.0, dx)
+    sdy = jnp.where(dy == 0, 1.0, dy)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    lox, hix = jnp.minimum(px, x1), jnp.maximum(px, x1)
+    loy, hiy = jnp.minimum(py, y1), jnp.maximum(py, y1)
+    # x-major: y-value of the edge at every column (P, V, W)
+    yx = jnp.round(py[..., None] + (xs - px[..., None]) * (dy / sdx)[..., None])
+    in_col = (xs >= lox[..., None]) & (xs <= hix[..., None])
+    okx = ok & xmajor
+    oky = ok & ~xmajor
 
-    def scatter_one(eyp, exp, okp):
-        m = jnp.zeros((H + 1, W), bool)
-        m = m.at[eyp.reshape(-1), exp.reshape(-1)].set(True, mode="drop")
-        return m[:H]
+    def per_row(y):
+        on_x = okx[..., None] & in_col & (yx == y)
+        # y-major: column of the edge at this row (P, V)
+        xy = jnp.round(px + (y - py) * (dx / sdy))
+        on_y = (
+            (oky & (y >= loy) & (y <= hiy))[..., None]
+            & (xy[..., None] == xs)
+        )
+        return jnp.any(on_x | on_y, axis=1)  # (P, W)
 
-    return jax.vmap(scatter_one)(ey_flat, jnp.clip(ex, 0, W - 1), ok)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    return jnp.swapaxes(jax.vmap(per_row)(ys), 0, 1)  # (P, H, W)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))
@@ -106,7 +133,7 @@ def rasterize_polygons(
     poly_ok = n_verts >= 3
 
     inside = _interior_mask(px, py, x1, y1, vvalid, poly_ok, out_hw)
-    outline = _outline_mask(px, py, x1, y1, vvalid, poly_ok, out_hw, H + W)
+    outline = _outline_mask(px, py, x1, y1, vvalid, poly_ok, out_hw)
     hit = inside | outline  # (P, H, W)
 
     pidx = jnp.arange(P, dtype=jnp.int32)
