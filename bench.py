@@ -70,37 +70,48 @@ def _train_epoch_stages(args, cfg, dc, batches, B, S, n_samples):
         return (time.perf_counter() - t0) / n * 1e3
 
     if args.device_synth:
+        from ubdvss_tpu.data import finalize_batch
+        from ubdvss_tpu.ops.augment import photometric, random_affine
         from ubdvss_tpu.synthgen import generate_scene
 
         sc = batches.sc
+        acfg = dc.augment
+
+        def gen_one(kg, ka):
+            # mirrors synthgen.synth_batch_step: augmentation affine
+            # composed into the render (no image warp) + photometric
+            k_geo, k_phot = jax.random.split(ka)
+            m = random_affine(k_geo, acfg, sc.hw)
+            img, polys, nv, ci = generate_scene(
+                kg, sc, affine=m, fill=acfg.fill_value
+            )
+            return photometric(k_phot, img, acfg), polys, nv, ci
 
         @jax.jit
         def gen_probe(k):
-            keys = jax.random.split(k, B)
-            imgs, polys, nv, ci = jax.vmap(
-                lambda kk: generate_scene(kk, sc)
-            )(keys)
+            kg, ka = jax.random.split(k)
+            imgs, polys, nv, ci = jax.vmap(gen_one)(
+                jax.random.split(kg, B), jax.random.split(ka, B)
+            )
             return imgs.sum() + polys.sum() + nv.sum() + ci.sum()
 
-        out["generate"] = round(
+        out["generate_augment"] = round(
             timed(lambda i: gen_probe(jax.random.fold_in(key, i))), 2
         )
-        keys = jax.random.split(key, B)
-        imgs, polys, nv, ci = jax.jit(
-            jax.vmap(lambda kk: generate_scene(kk, sc))
-        )(keys)
+        kg, ka = jax.random.split(key)
+        imgs, polys, nv, ci = jax.jit(jax.vmap(gen_one))(
+            jax.random.split(kg, B), jax.random.split(ka, B)
+        )
 
         @jax.jit
-        def prep_probe(k):
-            b = device_batch_step(k, imgs, polys, nv, ci, cfg, dc, True)
+        def prep_probe(x):
+            b = finalize_batch(imgs + x, polys, nv, ci, cfg, dc)
             return b["images"].sum() + b["segmap"].sum()
 
-        out["augment_rasterize"] = round(
-            timed(lambda i: prep_probe(jax.random.fold_in(key, i + 7))), 2
+        out["normalize_rasterize"] = round(
+            timed(lambda i: prep_probe(jnp.float32(i) * 0)), 2
         )
-        batch = device_batch_step(
-            jax.random.fold_in(key, 9), imgs, polys, nv, ci, cfg, dc, True
-        )
+        batch = finalize_batch(imgs, polys, nv, ci, cfg, dc)
     else:
         samples = list(batches._samples[:B])
         t0 = time.perf_counter()

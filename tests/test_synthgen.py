@@ -107,6 +107,105 @@ def test_1d_duty_signature_matches_host():
         )
 
 
+def test_identity_affine_reproduces_no_affine_scene():
+    """Composed-affine rendering with the identity matrix must be exactly
+    the no-affine scene (validates the coordinate composition end to end:
+    shrink cap, window placement, inverse mapping, coverage blend)."""
+    sc = SynthConfig(hw=(128, 128), n_objects=(2, 4), max_polys=4)
+    ident = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    for seed in (0, 5):
+        key = jax.random.PRNGKey(seed)
+        img0, polys0, nv0, ci0 = jax.device_get(
+            jax.jit(lambda k: generate_scene(k, sc))(key)
+        )
+        img1, polys1, nv1, ci1 = jax.device_get(
+            jax.jit(lambda k, m: generate_scene(k, sc, affine=m))(key, ident)
+        )
+        np.testing.assert_allclose(polys1, polys0, atol=1e-4)
+        np.testing.assert_array_equal(nv1, nv0)
+        np.testing.assert_array_equal(ci1, ci0)
+        np.testing.assert_allclose(img1, img0, atol=1e-3)
+
+
+def test_affine_transforms_polys_and_content():
+    """A pure translation composed into the render must shift the GT
+    polygons exactly and move the rendered texture with them."""
+    sc = SynthConfig(hw=(160, 160), n_objects=(2, 2), max_polys=4)
+    t = jnp.array([[1.0, 0.0, 9.0], [0.0, 1.0, -13.0]])
+    key = jax.random.PRNGKey(11)
+    img0, polys0, nv0, _ = jax.device_get(
+        jax.jit(lambda k: generate_scene(k, sc))(key)
+    )
+    img1, polys1, nv1, _ = jax.device_get(
+        jax.jit(lambda k, m: generate_scene(k, sc, affine=m))(key, t)
+    )
+    np.testing.assert_array_equal(nv1, nv0)
+    shift = np.array([9.0, -13.0], np.float32)
+    np.testing.assert_allclose(
+        polys1[nv1 > 0][:, :4], polys0[nv0 > 0][:, :4] + shift, atol=1e-4
+    )
+    # texture present at each translated object center
+    for p in range(4):
+        if nv1[p]:
+            cx, cy = polys1[p, :4, 0].mean(), polys1[p, :4, 1].mean()
+            y0, y1 = int(max(0, cy - 8)), int(min(160, cy + 8))
+            x0, x1 = int(max(0, cx - 8)), int(min(160, cx + 8))
+            assert img1[y0:y1, x0:x1].min() < 140
+
+
+def test_affine_rotation_scale_objects_fit_and_render():
+    """A rotation+downscale similarity: polys stay consistent (exact
+    rotated rects of the drawn sizes), out-of-frame background becomes
+    fill, and dark texture lands inside every transformed poly."""
+    from ubdvss_tpu.ops.augment import AugmentConfig, random_affine
+
+    sc = SynthConfig(hw=(192, 192), n_objects=(3, 3), max_polys=4)
+    acfg = AugmentConfig(rotation_deg=25.0, scale_range=(0.75, 0.75),
+                         translate_frac=0.0)
+    m = random_affine(jax.random.PRNGKey(2), acfg, sc.hw)
+    img, polys, nv, _ = jax.device_get(
+        jax.jit(lambda k, mm: generate_scene(k, sc, affine=mm))(
+            jax.random.PRNGKey(4), m
+        )
+    )
+    # downscale 0.75 about the center leaves a fill border
+    assert img[0, 0] > 250.0 and img[-1, -1] > 250.0
+    for p in range(4):
+        if nv[p]:
+            cx, cy = polys[p, :4, 0].mean(), polys[p, :4, 1].mean()
+            y0, y1 = int(max(0, cy - 6)), int(min(192, cy + 6))
+            x0, x1 = int(max(0, cx - 6)), int(min(192, cx + 6))
+            assert img[y0:y1, x0:x1].min() < 140, (
+                f"object {p} has no texture at its transformed position"
+            )
+
+
+def test_synth_batch_step_augmented_contract():
+    """The fused synth+augment batch step returns the batch contract and
+    per-epoch variation; segmap components must line up with the polys."""
+    from ubdvss_tpu.synthgen import synth_batch_step
+
+    cfg = NetConfig(max_components=4)
+    dc = DataConfig(batch_size=2, train_hw=(96, 96), max_polys=4)
+    sc = SynthConfig(hw=(96, 96), n_objects=(1, 3), max_polys=4)
+    b = jax.device_get(
+        synth_batch_step(jax.random.PRNGKey(0), sc, cfg, dc, True)
+    )
+    assert b["images"].shape == (2, 96, 96, 1)
+    assert b["segmap"].shape == (2, 24, 24)
+    assert np.abs(b["images"]).max() <= 1.0 + 1e-6
+    # every active poly must rasterize some pixels of its class (polys
+    # fully inside the frame; clipped ones may legitimately vanish)
+    for i in range(2):
+        for p in range(4):
+            if b["n_verts"][i, p]:
+                pts = b["polys"][i, p, :4] / cfg.scale
+                if (pts.min() >= 0 and pts[:, 0].max() < 24
+                        and pts[:, 1].max() < 24):
+                    cid = b["class_ids"][i, p]
+                    assert (b["segmap"][i] == cid).any()
+
+
 def test_batches_contract_and_train_step():
     from ubdvss_tpu.train import create_train_state, train_step
 

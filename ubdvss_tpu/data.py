@@ -144,6 +144,32 @@ def _collate_on_device(imgs_np: list, polys_np: list, out_hw: tuple[int, int]):
     return jnp.stack(xs), jnp.stack(ps)
 
 
+def finalize_batch(
+    imgs: jax.Array,
+    polys: jax.Array,
+    n_verts: jax.Array,
+    class_ids: jax.Array,
+    net_cfg: NetConfig,
+    data_cfg: DataConfig,
+):
+    """Normalize + rasterize tail of the batch pipeline (post-augment).
+
+    Shared by :func:`device_batch_step` (host-fed data, geometric warp
+    already applied) and ``synthgen.synth_batch_step`` (on-device scenes
+    whose augmentation affine is composed into object placement at render
+    time, so no warp runs at all).
+    """
+    x = normalize(imgs)[..., None]
+    ho = data_cfg.train_hw[0] // net_cfg.scale
+    wo = data_cfg.train_hw[1] // net_cfg.scale
+    grid_polys = jnp.round(polys / jnp.float32(net_cfg.scale))
+    segmap = jax.vmap(
+        lambda p, nv, ci: rasterize_polygons(p, nv, ci, (ho, wo))
+    )(grid_polys, n_verts, class_ids)
+    return {"images": x, "segmap": segmap, "polys": polys, "n_verts": n_verts,
+            "class_ids": class_ids}
+
+
 @functools.partial(jax.jit, static_argnames=("net_cfg", "data_cfg", "train"))
 def device_batch_step(
     key: jax.Array,
@@ -161,15 +187,7 @@ def device_batch_step(
     """
     if train and data_cfg.augment is not None:
         imgs, polys = augment_batch(key, imgs, polys, data_cfg.augment)
-    x = normalize(imgs)[..., None]
-    ho = data_cfg.train_hw[0] // net_cfg.scale
-    wo = data_cfg.train_hw[1] // net_cfg.scale
-    grid_polys = jnp.round(polys / jnp.float32(net_cfg.scale))
-    segmap = jax.vmap(
-        lambda p, nv, ci: rasterize_polygons(p, nv, ci, (ho, wo))
-    )(grid_polys, n_verts, class_ids)
-    return {"images": x, "segmap": segmap, "polys": polys, "n_verts": n_verts,
-            "class_ids": class_ids}
+    return finalize_batch(imgs, polys, n_verts, class_ids, net_cfg, data_cfg)
 
 
 class _ReaderSource:

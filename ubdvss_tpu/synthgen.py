@@ -4,15 +4,17 @@
 ~150 img/s against a ~5,200 img/s train step on this host: sustained
 training is FEED-bound (H2D link + host collate), not compute-bound.  The
 TPU-native fix is to never leave the chip: this module synthesizes whole
-training batches *inside the jitted program* — procedural barcode scenes,
-exact ground-truth polygons, then the standard on-device augment →
-normalize → rasterize pipeline (`data.device_batch_step`) — removing the
-host link from the loop entirely (SURVEY.md §3.1's "second hot path",
-fully on device).  Measured sustained rate: see BASELINE.md's
-train-epoch rows and `bench.py --mode train-epoch --device-synth
---stage-breakdown` — generation itself costs real chip time on top of
-the step, so the sustained rate is a large multiple of the host-fed
-path but below the bare step rate.
+training batches *inside the jitted program* — procedural barcode scenes
+rendered directly at their augmented pose (the geometric-augmentation
+affine is composed into object placement, `generate_scene(affine=...)`,
+so no image-resampling warp ever runs), exact ground-truth polygons,
+then photometric jitter → normalize → rasterize (`data.finalize_batch`)
+— removing the host link from the loop entirely (SURVEY.md §3.1's
+"second hot path", fully on device).  Measured sustained rate: see
+BASELINE.md's train-epoch rows and `bench.py --mode train-epoch
+--device-synth --stage-breakdown` — generation itself costs real chip
+time on top of the step, so the sustained rate is a large multiple of
+the host-fed path but below the bare step rate.
 
 Class-signature consistency: the per-class constants (1D run-length
 sequences + style flags, postal level patterns, 2D module divisor/finder
@@ -341,7 +343,12 @@ class SynthConfig:
     margin: int = 8
 
 
-def generate_scene(key: jax.Array, sc: SynthConfig):
+def generate_scene(
+    key: jax.Array,
+    sc: SynthConfig,
+    affine: jax.Array | None = None,
+    fill: float = 255.0,
+):
     """One synthetic scene, fully on device.
 
     Returns (img (H, W) f32 in [0, 255], polys (P, V, 2) f32,
@@ -358,6 +365,25 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
     order is irrelevant).  vs the full-grid unrolled loop this cut the
     512^2 x B=128 batch from 32 s to the millisecond regime and compiles
     a P-times smaller program.
+
+    ``affine``: optional (2, 3) forward augmentation matrix (scene coords →
+    output coords, ``ops.augment.random_affine``).  Instead of rendering
+    and then resampling the finished image — the host-data path, whose
+    two-pass warp cost ~0.67 ms/img, 3.5x the train step (VERDICT r3 item
+    2) — the affine is COMPOSED into object placement: texel coordinates
+    map output pixel → inverse affine → object frame (one extra 2x3 affine
+    per window pixel, ~free), the GT polygons get the exact forward affine,
+    and out-of-frame background becomes ``fill`` via an analytic coverage
+    blend (same 1-px soft edge as the warp's border profile).  Zero
+    resampling: the texture is evaluated analytically at its final
+    position, so the composed render is *sharper* than warp-after-render
+    (no bilinear softening) and costs no extra passes.  ``random_affine``
+    matrices are similarity transforms (uniform scale s_g·rotation·flip +
+    translation, optionally composed with the uniform crop zoom), so
+    transformed objects remain exact rotated rects; the object shrink
+    additionally caps the POST-affine radius at the static render window
+    (objects stay fully paintable — the distribution trade is documented
+    at the shrink site).
     """
     T = {k: jnp.asarray(v) for k, v in build_class_tables(sc.class_names).items()}
     H, W = sc.hw
@@ -369,11 +395,38 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
     wsy = min(128, H)
     wsx = min(128, W)
 
+    if affine is not None:
+        from ubdvss_tpu.ops.augment import _invert_affine, transform_points
+
+        inv = _invert_affine(affine)
+        # random_affine is a similarity (uniform scale · rotation · flip
+        # [· uniform crop zoom] + translation): |det| = s_g^2 exactly
+        s_g = jnp.sqrt(
+            jnp.abs(
+                affine[0, 0] * affine[1, 1] - affine[0, 1] * affine[1, 0]
+            )
+        )
+
     k_n, k_bg, k_noise, k_perm, k_obj = jax.random.split(key, 5)
     n = jax.random.randint(k_n, (), sc.n_objects[0], sc.n_objects[1] + 1)
     n = jnp.minimum(n, P)
     base = jax.random.uniform(k_bg, (), minval=170.0, maxval=240.0)
     img = base + 6.0 * jax.random.normal(k_noise, (H, W))
+    if affine is not None:
+        # out-of-frame background -> fill, with the warp's exact 1-px
+        # partial-coverage edge profile (bilinear at source position v in
+        # (-1, 0) weights fill by -v): pure elementwise affine eval per
+        # pixel, no gather, fuses into the noise add above.
+        yy, xx = jnp.mgrid[0:H, 0:W]
+        sx = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
+        sy = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+        w_in = (
+            jnp.clip(sx + 1.0, 0.0, 1.0)
+            * jnp.clip(W - sx, 0.0, 1.0)
+            * jnp.clip(sy + 1.0, 0.0, 1.0)
+            * jnp.clip(H - sy, 0.0, 1.0)
+        )
+        img = img * w_in + fill * (1.0 - w_in)
     cells = jax.random.permutation(k_perm, g * g)[:P]
 
     bw_hi = max(41.0, min(108.0, W / 2))
@@ -409,6 +462,26 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
                 (cell_h / 2 - 6.0) / jnp.maximum(ext_y, 1e-3),
             ),
         )
+        if affine is not None:
+            # cap the POST-affine radius at the static render window so
+            # composed objects stay fully paintable.  Cells map to
+            # disjoint parallelograms under any affine, so disjointness
+            # is preserved for free; this cap only bounds final object
+            # size at ~(window - 8) px — upscale augmentation shrinks the
+            # pre-affine draw instead of growing the window (a 1.4x-scale
+            # window would cost 1.9x texel work for the tail of one
+            # distribution).
+            # cap = ws/2 - 2: covers the max pre-affine radius (61.8 px on
+            # the 128 window, same 2 px slack the no-affine path runs
+            # with), so an identity affine reproduces the no-affine scene
+            # exactly; window-clamp analysis: all in-frame object pixels
+            # stay inside the edge-clamped window for radius <= 62.5.
+            r0 = jnp.sqrt((bw / 2) ** 2 + (bh / 2) ** 2)
+            s = jnp.minimum(
+                s,
+                (min(wsy, wsx) / 2.0 - 2.0)
+                / jnp.maximum(s_g * r0, 1e-3),
+            )
         bw, bh, ext_x, ext_y = bw * s, bh * s, ext_x * s, ext_y * s
         row = (cell // g).astype(jnp.float32)
         col = (cell % g).astype(jnp.float32)
@@ -433,10 +506,17 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
         signs = jnp.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], jnp.float32)
         rot = jnp.array([[cth, -sth], [sth, cth]])
         corners = (signs * half) @ rot.T + jnp.stack([cx, cy])
+        if affine is not None:
+            # GT polygons and the render-window center live in the OUTPUT
+            # frame; texel math stays in the pre-affine frame via inv.
+            corners = transform_points(corners, affine)
+            cxo, cyo = transform_points(jnp.stack([cx, cy]), affine)
+        else:
+            cxo, cyo = cx, cy
         return dict(
             active=active, c=c, grp=grp, bw=bw, bh=bh, cth=cth, sth=sth,
-            cx=cx, cy=cy, module_px=module_px, phase1d=phase1d,
-            phasep=phasep, seed2d=seed2d, corners=corners,
+            cx=cx, cy=cy, cxo=cxo, cyo=cyo, module_px=module_px,
+            phase1d=phase1d, phasep=phasep, seed2d=seed2d, corners=corners,
         )
 
     o = jax.vmap(draw)(jnp.arange(P), cells)
@@ -448,8 +528,8 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
     n_verts = jnp.where(o["active"], 4, 0).astype(jnp.int32)
     class_ids = jnp.where(o["active"], 1 + o["c"], 0).astype(jnp.int32)
 
-    x0 = jnp.clip(jnp.round(o["cx"]).astype(jnp.int32) - wsx // 2, 0, W - wsx)
-    y0 = jnp.clip(jnp.round(o["cy"]).astype(jnp.int32) - wsy // 2, 0, H - wsy)
+    x0 = jnp.clip(jnp.round(o["cxo"]).astype(jnp.int32) - wsx // 2, 0, W - wsx)
+    y0 = jnp.clip(jnp.round(o["cyo"]).astype(jnp.int32) - wsy // 2, 0, H - wsy)
     wyy, wxx = jnp.mgrid[0:wsy, 0:wsx]
     wyy = wyy.astype(jnp.float32)
     wxx = wxx.astype(jnp.float32)
@@ -457,8 +537,17 @@ def generate_scene(key: jax.Array, sc: SynthConfig):
     def render(oo, ox, oy):
         """Object texture on its window (window coords -> object frame)."""
         c = oo["c"]
-        rx = (wxx + ox) - oo["cx"]
-        ry = (wyy + oy) - oo["cy"]
+        px = wxx + ox
+        py = wyy + oy
+        if affine is not None:
+            # output pixel -> pre-affine scene coords (one fused 2x3
+            # affine per pixel — the entire cost of composed augmentation)
+            sx_ = inv[0, 0] * px + inv[0, 1] * py + inv[0, 2]
+            sy_ = inv[1, 0] * px + inv[1, 1] * py + inv[1, 2]
+        else:
+            sx_, sy_ = px, py
+        rx = sx_ - oo["cx"]
+        ry = sy_ - oo["cy"]
         u = oo["cth"] * rx + oo["sth"] * ry + oo["bw"] / 2
         v = -oo["sth"] * rx + oo["cth"] * ry + oo["bh"] / 2
         inside = (
@@ -508,17 +597,37 @@ def synth_batch_step(
 
     Generation + augmentation + normalization + rasterization compile into
     a single XLA program; nothing crosses the host link.
+
+    Geometric augmentation is COMPOSED into the render (``generate_scene``
+    ``affine=`` — objects are placed at their post-affine pose and the GT
+    polygons get the exact forward transform), so the image-resampling
+    warp that cost 3.5x the train step on this path (VERDICT r3 item 2)
+    never runs; only photometric jitter touches the finished pixels.
     """
-    from ubdvss_tpu.data import device_batch_step
+    from ubdvss_tpu.data import finalize_batch
+    from ubdvss_tpu.ops.augment import photometric, random_affine
 
     k_gen, k_aug = jax.random.split(key)
     keys = jax.random.split(k_gen, data_cfg.batch_size)
-    imgs, polys, n_verts, class_ids = jax.vmap(
-        lambda k: generate_scene(k, sc)
-    )(keys)
-    return device_batch_step(
-        k_aug, imgs, polys, n_verts, class_ids, net_cfg, data_cfg, train
-    )
+    acfg = data_cfg.augment
+    if train and acfg is not None:
+
+        def one(kg, ka):
+            k_geo, k_phot = jax.random.split(ka)
+            m = random_affine(k_geo, acfg, sc.hw)
+            img, polys, nv, ci = generate_scene(
+                kg, sc, affine=m, fill=acfg.fill_value
+            )
+            return photometric(k_phot, img, acfg), polys, nv, ci
+
+        imgs, polys, n_verts, class_ids = jax.vmap(one)(
+            keys, jax.random.split(k_aug, data_cfg.batch_size)
+        )
+    else:
+        imgs, polys, n_verts, class_ids = jax.vmap(
+            lambda k: generate_scene(k, sc)
+        )(keys)
+    return finalize_batch(imgs, polys, n_verts, class_ids, net_cfg, data_cfg)
 
 
 class DeviceSyntheticBatches:
