@@ -112,6 +112,27 @@ def _train_epoch_stages(args, cfg, dc, batches, B, S, n_samples):
             timed(lambda i: prep_probe(jnp.float32(i) * 0)), 2
         )
         batch = finalize_batch(imgs, polys, nv, ci, cfg, dc)
+    elif args.cache_device:
+        from ubdvss_tpu.data import _cached_batch_step
+
+        idx = jnp.arange(B)
+
+        @jax.jit
+        def cache_probe(k):
+            b = _cached_batch_step(
+                k, batches._imgs, batches._polys, batches._nv,
+                batches._ci, idx, cfg, dc, True,
+            )
+            return b["images"].sum() + b["segmap"].sum()
+
+        out["gather_augment_rasterize"] = round(
+            timed(lambda i: cache_probe(jax.random.fold_in(key, i))), 2
+        )
+        batch = _cached_batch_step(
+            jax.random.fold_in(key, 9), batches._imgs, batches._polys,
+            batches._nv, batches._ci, idx, cfg, dc, True,
+        )
+        imgs = None
     else:
         samples = list(batches._samples[:B])
         t0 = time.perf_counter()
@@ -189,6 +210,10 @@ def main():
                    help="train-epoch mode: synthesize scenes ON DEVICE "
                         "(synthgen.py) instead of feeding host-rendered "
                         "batches — the zero-host-link training pipeline")
+    p.add_argument("--cache-device", action="store_true",
+                   help="train-epoch mode: host-rendered corpus cached in "
+                        "device HBM (data.DeviceCachedBatches) — one-time "
+                        "decode+H2D, then every epoch is step-bound")
     p.add_argument("--epochs", type=int, default=3,
                    help="train-epoch mode: measured epochs (after 1 warmup)")
     p.add_argument("--stage-breakdown", action="store_true",
@@ -307,12 +332,18 @@ def main():
                 n_samples=n_samples, image_hw=(S, S), seed=7,
                 n_objects=tuple(args.n_objects),
             )
-            batches = Batches(reader, cfg, dc, train=True)
+            if args.cache_device:
+                from ubdvss_tpu.data import DeviceCachedBatches
+
+                batches = DeviceCachedBatches(reader, cfg, dc, train=True)
+            else:
+                batches = Batches(reader, cfg, dc, train=True)
         from ubdvss_tpu.utils.prefetch import prefetched
 
         def feed(e):
             it = batches.epoch(e)
-            if not args.device_synth and args.prefetch_depth > 0:
+            if (not args.device_synth and not args.cache_device
+                    and args.prefetch_depth > 0):
                 # feed/compute overlap (Trainer.fit does the same): host
                 # collate + H2D of batch N+1 run while step N executes
                 it = prefetched(it, depth=args.prefetch_depth)
@@ -335,16 +366,19 @@ def main():
         config = {"batch_size": B, "image_size": S,
                   "dtype": args.dtype, "epoch_samples": n_samples,
                   "epochs": args.epochs,
-                  "prefetch_depth": (0 if args.device_synth
+                  "prefetch_depth": (0 if args.device_synth or args.cache_device
                                      else args.prefetch_depth),
                   "pipeline": (
-                      "device-synth (on-device generate + aug + "
-                      "rasterize + step; zero host feed)"
+                      "device-synth (on-device generate at augmented pose "
+                      "+ rasterize + step; zero host feed)"
                       if args.device_synth else
+                      "hbm-cached corpus (one-time decode+H2D; "
+                      "device gather + aug + rasterize + step)"
+                      if args.cache_device else
                       "full (host collate + device aug + "
                       "rasterize + step)"
                   )}
-        if not args.device_synth:
+        if not args.device_synth and not args.cache_device:
             # same-run link bandwidth: feed-bound rows carry their own
             # explanation (the tunneled link varies ~50x day to day)
             config["h2d_mbps"] = round(_h2d_mbps(), 1)

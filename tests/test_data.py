@@ -366,3 +366,43 @@ def test_collate_fast_path_matches_per_sample():
              for _ in range(2)]
     xb, pb = _collate_on_device(imgs, polys, out_hw)
     assert xb.shape == (2, 64, 64) and pb.shape == (2, 4, 8, 2)
+
+
+def test_device_cached_batches_match_streamed():
+    """DeviceCachedBatches must yield the SAME batches (images, segmaps,
+    polys) as host-fed Batches under the same seed/epoch — the HBM cache
+    changes where the corpus lives, not what the model trains on."""
+    from ubdvss_tpu.data import DeviceCachedBatches
+
+    cfg = NetConfig()
+    reader = SyntheticMarkupReader(n_samples=8, image_hw=(96, 128), seed=4)
+    dc = DataConfig(batch_size=4, train_hw=(64, 64), seed=2)
+    streamed = Batches(reader, cfg, dc, train=True)
+    cached = DeviceCachedBatches(reader, cfg, dc, train=True)
+    assert len(cached) == len(streamed) == 2
+    for e in (0, 1):
+        for bs, bc in zip(streamed.epoch(e), cached.epoch(e)):
+            np.testing.assert_allclose(
+                np.asarray(bc["images"]), np.asarray(bs["images"]),
+                atol=1e-5,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(bc["segmap"]), np.asarray(bs["segmap"])
+            )
+            np.testing.assert_allclose(
+                np.asarray(bc["polys"]), np.asarray(bs["polys"]), atol=1e-4
+            )
+            np.testing.assert_array_equal(
+                np.asarray(bc["class_ids"]), np.asarray(bs["class_ids"])
+            )
+
+
+def test_device_cached_batches_memory_guard():
+    from ubdvss_tpu.data import DeviceCachedBatches
+    import pytest as _pytest
+
+    cfg = NetConfig()
+    reader = SyntheticMarkupReader(n_samples=4, image_hw=(64, 64), seed=0)
+    dc = DataConfig(batch_size=2, train_hw=(64, 64))
+    with _pytest.raises(ValueError, match="exceeds"):
+        DeviceCachedBatches(reader, cfg, dc, max_bytes=1000)

@@ -92,6 +92,7 @@ def test_packed_int8_trunk_bit_exact():
     np.testing.assert_array_equal(np.asarray(packed_raw), np.asarray(direct))
 
 
+@pytest.mark.slow  # 44 s; bit-exactness already gated by test_packed_int8_trunk_bit_exact
 def test_packed_int8_phase_major_layout():
     """Without unpack the packed logits are phase-major (B, H/8, W/8, 4*O)
     and postprocess_batch_fused(packed_phases=(2, 2)) consumes them with

@@ -55,6 +55,7 @@ def test_scene_contract_and_determinism():
             )
 
 
+@pytest.mark.slow  # 27 s (4 compile seeds); invariant also exercised by the transfer test
 def test_objects_disjoint():
     """Grid-cell placement must keep object AABBs pairwise disjoint (the
     separable-components invariant of the host generator)."""

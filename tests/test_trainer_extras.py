@@ -216,6 +216,7 @@ def test_cls_weight_schedule():
     ) < 1e-6
 
 
+@pytest.mark.slow  # 38 s; checkify+GSPMD composition, release-gate tier
 def test_checked_train_step_under_mesh():
     """checkify + GSPMD data parallelism compose (VERDICT r2 weak #7):
     the debug-guarded step must run under a sharded mesh and match the

@@ -358,3 +358,108 @@ class Batches:
 
     def __iter__(self):
         return self.epoch()
+
+
+@functools.partial(jax.jit, static_argnames=("net_cfg", "data_cfg", "train"))
+def _cached_batch_step(
+    key, imgs, polys, n_verts, class_ids, idx,
+    net_cfg: NetConfig, data_cfg: DataConfig, train: bool,
+):
+    # leading-axis row gather of the batch from the device-resident corpus
+    # (B rows of H*W f32 — bandwidth noise next to the step), then the
+    # standard on-device augment/normalize/rasterize
+    return device_batch_step(
+        key, imgs[idx], polys[idx], n_verts[idx], class_ids[idx],
+        net_cfg, data_cfg, train,
+    )
+
+
+class DeviceCachedBatches:
+    """Device-RESIDENT dataset: decode + collate the whole corpus once,
+    then every epoch is pure device work (batch gather → augment →
+    normalize → rasterize) — zero host collate and zero H2D per step.
+
+    The TPU-native answer for corpora that fit HBM (a 1024-scene 128px
+    training set is 67 MB; even 512² x 4096 images is 4 GB of a v5e's
+    16 GB): ``Batches`` re-collates and re-transfers every epoch, which on
+    a slow host link makes training FEED-bound (measured: BASELINE.md
+    train-epoch rows); caching makes every epoch after the first
+    step-bound by construction.  Augmentation stays fresh per epoch — it
+    runs on device from the per-epoch PRNG key with the same order/key
+    schedule as ``Batches``, so cached training sees the identical
+    augmented-sample stream (parity-tested in tests/test_data.py).
+
+    Trainer usage: ``train.py --cache-device`` (host-readable datasets),
+    or construct directly.  Memory guard: the constructor estimates the
+    corpus HBM footprint and raises above ``max_bytes`` (default 8 GB)
+    rather than OOMing the chip mid-run.
+    """
+
+    def __init__(
+        self,
+        reader: MarkupReader,
+        net_cfg: NetConfig,
+        data_cfg: DataConfig,
+        train: bool = True,
+        max_bytes: int = 8 << 30,
+    ):
+        self.net_cfg = net_cfg
+        self.data_cfg = data_cfg
+        self.train = train
+        samples = reader.samples()
+        n = len(samples)
+        est = n * data_cfg.train_hw[0] * data_cfg.train_hw[1] * 4
+        if est > max_bytes:
+            raise ValueError(
+                f"DeviceCachedBatches: corpus ~{est / 1e9:.1f} GB exceeds "
+                f"max_bytes={max_bytes / 1e9:.1f} GB — use Batches/"
+                "GrainBatches (streaming) for corpora that don't fit HBM"
+            )
+        imgs, polys, nvs, cids = [], [], [], []
+        for s in samples:
+            imgs.append(np.asarray(load_image(s)))
+            p, nv, ci = pad_polygons(
+                s, net_cfg, data_cfg.max_polys, data_cfg.max_verts
+            )
+            polys.append(p)
+            nvs.append(nv)
+            cids.append(ci)
+        self._imgs, self._polys = _collate_on_device(
+            imgs, polys, data_cfg.train_hw
+        )
+        self._nv = jnp.asarray(np.stack(nvs))
+        self._ci = jnp.asarray(np.stack(cids))
+        self._n = n
+
+    def __len__(self) -> int:
+        b = self.data_cfg.batch_size
+        return (
+            self._n // b
+            if self.data_cfg.drop_remainder
+            else -(-self._n // b)
+        )
+
+    def epoch(self, epoch: int | None = None) -> Iterator[dict]:
+        dc = self.data_cfg
+        epoch = 0 if epoch is None else epoch
+        # same order/key schedule as Batches so cached vs streamed training
+        # is sample-for-sample identical
+        order = np.arange(self._n)
+        rng = np.random.default_rng(dc.seed + epoch)
+        if dc.shuffle and self.train:
+            rng.shuffle(order)
+        b = dc.batch_size
+        key = jax.random.key(dc.seed * 7919 + epoch)
+        for bi in range(len(self)):
+            idx = order[bi * b : (bi + 1) * b]
+            if len(idx) < b and dc.drop_remainder:
+                break
+            yield _cached_batch_step(
+                jax.random.fold_in(key, bi),
+                self._imgs, self._polys, self._nv, self._ci,
+                jnp.asarray(idx),
+                self.net_cfg, dc, self.train,
+            )
+
+    def __iter__(self):
+        return self.epoch(0)

@@ -380,6 +380,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=256)
+    p.add_argument("--cache-device", action="store_true",
+                   help="cache the decoded training corpus in device HBM "
+                        "(data.DeviceCachedBatches): every epoch after the "
+                        "first is step-bound — zero host collate/H2D per "
+                        "step; for corpora that fit HBM")
     p.add_argument("--schedule", default="constant",
                    choices=["constant", "cosine", "exponential"])
     p.add_argument("--warmup-steps", type=int, default=0)
@@ -525,7 +530,16 @@ def main(argv: list[str] | None = None) -> Trainer:
         )
     else:
         train_reader = get_markup_reader(fmt, args.train_data, **reader_kw)
-        train_b = Batches(train_reader, cfg, dc, train=True)
+        if args.cache_device:
+            # device-resident corpus: decode+collate once, every epoch is
+            # pure device work — step-bound training for datasets that fit
+            # HBM (data.DeviceCachedBatches; the host-fed path is
+            # feed-bound on slow links, BASELINE.md train-epoch rows)
+            from ubdvss_tpu.data import DeviceCachedBatches
+
+            train_b = DeviceCachedBatches(train_reader, cfg, dc, train=True)
+        else:
+            train_b = Batches(train_reader, cfg, dc, train=True)
     val_b = None
     if args.val_data == "synthetic-device":
         from ubdvss_tpu.synthgen import DeviceSyntheticBatches
