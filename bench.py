@@ -358,14 +358,48 @@ def main():
 
         state = create_train_state(cfg, lr=1e-3)
         m = None
-        for batch in feed(0):  # warmup epoch: renders + compiles
-            state, m = train_step(state, batch, cfg)
+        if args.device_synth or args.cache_device:
+            # production path (Trainer._epoch_steps): data production is
+            # FUSED into the train program — one dispatch per step (the
+            # tunneled chip charges ~15-20 ms host latency per program
+            # launch; real hosts also gain scheduler overlap)
+            from ubdvss_tpu.train import (
+                make_fused_cached_step,
+                make_fused_synth_step,
+            )
+
+            if args.device_synth:
+                fused = make_fused_synth_step(batches.sc, cfg, dc)
+
+                def epoch_steps(e):
+                    ek = jax.random.fold_in(jax.random.PRNGKey(7), e)
+                    for s in range(len(batches)):
+                        yield lambda st, s=s: fused(st, ek, s)
+            else:
+                fused = make_fused_cached_step(cfg, dc)
+
+                def epoch_steps(e):
+                    order = np.arange(batches._n)
+                    np.random.default_rng(dc.seed + e).shuffle(order)
+                    od = jnp.asarray(order, jnp.int32)
+                    ekey = jax.random.key(dc.seed * 7919 + e)
+                    for bi in range(batches._n // B):
+                        yield lambda st, bi=bi: fused(
+                            st, ekey, batches._imgs, batches._polys,
+                            batches._nv, batches._ci, od, bi,
+                        )
+        else:
+            def epoch_steps(e):
+                for batch in feed(e):
+                    yield lambda st, b=batch: train_step(st, b, cfg)
+        for run in epoch_steps(0):  # warmup epoch: renders + compiles
+            state, m = run(state)
         float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
         n_imgs = 0
         for e in range(1, args.epochs + 1):
-            for batch in feed(e):
-                state, m = train_step(state, batch, cfg)
+            for run in epoch_steps(e):
+                state, m = run(state)
                 n_imgs += B
         float(jax.device_get(m["loss"]))  # chained through donated state
         dt = time.perf_counter() - t0
@@ -376,11 +410,11 @@ def main():
                   "prefetch_depth": (0 if args.device_synth or args.cache_device
                                      else args.prefetch_depth),
                   "pipeline": (
-                      "device-synth (on-device generate at augmented pose "
-                      "+ rasterize + step; zero host feed)"
+                      "device-synth fused single-dispatch (generate at "
+                      "augmented pose + rasterize + step, one program)"
                       if args.device_synth else
-                      "hbm-cached corpus (one-time decode+H2D; "
-                      "device gather + aug + rasterize + step)"
+                      "hbm-cached corpus fused single-dispatch (gather + "
+                      "aug + rasterize + step, one program)"
                       if args.cache_device else
                       "full (host collate + device aug + "
                       "rasterize + step)"

@@ -252,3 +252,57 @@ def test_checked_train_step_under_mesh():
     )
     with pytest.raises(Exception):
         err.throw()
+
+
+def test_fused_synth_step_matches_unfused_stream():
+    """Trainer's fused synth+train program must walk the exact same
+    sample/key stream as the unfused DeviceSyntheticBatches loop —
+    identical params after two epochs."""
+    from ubdvss_tpu.data import DataConfig
+    from ubdvss_tpu.synthgen import DeviceSyntheticBatches
+    from ubdvss_tpu.train import Trainer, create_train_state, train_step
+
+    cfg = NetConfig(max_components=4)
+    dc = DataConfig(batch_size=2, train_hw=(64, 64), max_polys=4, seed=3)
+    batches = DeviceSyntheticBatches(cfg, dc, n_samples=4, seed=5)
+
+    tr = Trainer(cfg, dc, lr=1e-3, seed=0)
+    tr.fit(batches, epochs=2)
+
+    state = create_train_state(cfg, lr=1e-3, seed=0)
+    for epoch in range(2):
+        for batch in batches.epoch(epoch):
+            state, _ = train_step(state, batch, cfg)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        jax.device_get(tr.state.params), jax.device_get(state.params),
+    )
+
+
+def test_fused_cached_step_matches_unfused_stream():
+    from ubdvss_tpu.data import DataConfig, DeviceCachedBatches
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.train import Trainer, create_train_state, train_step
+
+    cfg = NetConfig(max_components=4)
+    dc = DataConfig(batch_size=2, train_hw=(64, 64), max_polys=4, seed=1)
+    reader = SyntheticMarkupReader(n_samples=4, image_hw=(64, 64), seed=9)
+    batches = DeviceCachedBatches(reader, cfg, dc, train=True)
+
+    tr = Trainer(cfg, dc, lr=1e-3, seed=0)
+    tr.fit(batches, epochs=2)
+
+    state = create_train_state(cfg, lr=1e-3, seed=0)
+    for epoch in range(2):
+        for batch in batches.epoch(epoch):
+            state, _ = train_step(state, batch, cfg)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        jax.device_get(tr.state.params), jax.device_get(state.params),
+    )

@@ -374,6 +374,29 @@ def _cached_batch_step(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("net_cfg", "data_cfg", "train"))
+def _cached_batch_at(
+    ekey, imgs, polys, n_verts, class_ids, order, bi,
+    net_cfg: NetConfig, data_cfg: DataConfig, train: bool,
+):
+    """Per-batch program of the cached epoch loop: ALL per-batch
+    derivation (key fold-in, epoch-order slice, corpus gather) happens
+    inside the jit, so the host loop dispatches exactly one program with
+    one 4-byte scalar argument per batch — no host-side PRNG ops and no
+    per-batch index uploads (profiled: tiny per-batch host dispatches
+    dominate on high-latency links; on any host they are pure overhead).
+    Key/order values are identical to ``Batches``' host-side schedule
+    (fold_in here == fold_in there), so the cached-vs-streamed parity
+    test keeps passing sample-for-sample."""
+    b = data_cfg.batch_size
+    idx = jax.lax.dynamic_slice(order, (bi * b,), (b,))
+    return device_batch_step(
+        jax.random.fold_in(ekey, bi),
+        imgs[idx], polys[idx], n_verts[idx], class_ids[idx],
+        net_cfg, data_cfg, train,
+    )
+
+
 class DeviceCachedBatches:
     """Device-RESIDENT dataset: decode + collate the whole corpus once,
     then every epoch is pure device work (batch gather → augment →
@@ -443,23 +466,34 @@ class DeviceCachedBatches:
         dc = self.data_cfg
         epoch = 0 if epoch is None else epoch
         # same order/key schedule as Batches so cached vs streamed training
-        # is sample-for-sample identical
+        # is sample-for-sample identical; the order is uploaded ONCE per
+        # epoch and the per-batch slice/fold-in happen inside the jit
+        # (_cached_batch_at) — the host loop's only per-batch traffic is
+        # one scalar batch index
         order = np.arange(self._n)
         rng = np.random.default_rng(dc.seed + epoch)
         if dc.shuffle and self.train:
             rng.shuffle(order)
+        order_dev = jnp.asarray(order, jnp.int32)
+        ekey = jax.random.key(dc.seed * 7919 + epoch)
         b = dc.batch_size
-        key = jax.random.key(dc.seed * 7919 + epoch)
+        n_full = self._n // b
         for bi in range(len(self)):
-            idx = order[bi * b : (bi + 1) * b]
-            if len(idx) < b and dc.drop_remainder:
-                break
-            yield _cached_batch_step(
-                jax.random.fold_in(key, bi),
-                self._imgs, self._polys, self._nv, self._ci,
-                jnp.asarray(idx),
-                self.net_cfg, dc, self.train,
-            )
+            if bi < n_full:
+                # bi is a traced scalar — one compile covers every batch
+                yield _cached_batch_at(
+                    ekey, self._imgs, self._polys, self._nv, self._ci,
+                    order_dev, bi, self.net_cfg, dc, self.train,
+                )
+            else:
+                # partial tail (drop_remainder=False): explicit short
+                # index list — dynamic_slice would duplicate samples
+                yield _cached_batch_step(
+                    jax.random.fold_in(ekey, bi),
+                    self._imgs, self._polys, self._nv, self._ci,
+                    jnp.asarray(order[bi * b :], jnp.int32),
+                    self.net_cfg, dc, self.train,
+                )
 
     def __iter__(self):
         return self.epoch(0)

@@ -134,9 +134,6 @@ def affine_warp_gather(img: jax.Array, matrix: jax.Array, fill: float) -> jax.Ar
     return top * (1 - fy) + bot * fy
 
 
-_BS = 8  # column-block width for the integer shear shift
-
-
 def _resample_axis0(
     img: jax.Array,
     a: jax.Array,
@@ -152,35 +149,41 @@ def _resample_axis0(
     outside [0, H).  |c| must be <= ``max_shear`` (static); |a|, |b| are
     unconstrained (out-of-frame rows resolve to fill via an exact mask).
 
-    TPU-native formulation — per-pixel gathers serialize on TPU, so the
-    shear+scale split is computed as three gather-free stages:
+    TPU-native formulation — per-pixel gathers serialize on TPU, and so
+    does the batched coarse gather this used in rounds 3-4a (a vmapped
+    per-column-block dynamic_slice: under vmap over the batch XLA lowers
+    it to a WHILE loop of dynamic-update-slices — profiled as the top two
+    device ops of the warp at ~2/3 of its runtime).  The shear is instead
+    decomposed into THREE one-hot levels of STATICALLY-shifted slices
+    (granule 32 → granule 4 → two-tap fractional), each level a weighted
+    sum of row-slices that XLA fuses into one VPU pass — no dynamic
+    indexing anywhere:
 
-      1. integer shear: each 8-column block is shifted vertically by
-         ``floor(c*x_center)`` via a vmapped dynamic_slice from a
-         fill-padded frame (coarse slices, not per-pixel gathers);
-      2. residual shear: the remaining per-column offset r in (-4, 5) is
-         applied as an 8-tap one-hot-weighted sum of statically shifted
-         rows (pure VPU work, fuses);
-      3. row scale: ``a*y + b`` becomes a per-sample (H, H+2*EXT)
-         two-diagonal interpolation matrix contracted on the MXU
-         (precision HIGH: one-hot rows stay exact in the bf16 3-pass
-         split since 1.0 has an exact bf16 representation).
+      1-3. shear: Q(x) = c*(x - W/2) + ext in [0, 2*ext] splits as
+           Q = 32*t + 4*u + i + f; each level contracts its one-hot
+           per-column weight with <= ~11 statically-offset row slices;
+      4.   row scale: ``a*y + b`` becomes a per-sample (H, H+2*EXT)
+           two-diagonal interpolation matrix contracted on the MXU
+           (precision HIGH: one-hot rows stay exact in the bf16 3-pass
+           split since 1.0 has an exact bf16 representation).
 
-    Stage-2 then stage-3 composes two 1-D lerps; for axis-aligned
-    transforms (c == 0 or integer positions) it is bit-identical to
-    bilinear, under shear it is a slightly softer but valid resampler.
+    The shear levels then stage-4 compose two 1-D lerps (the three shear
+    levels are exact integer selection + one fractional lerp — together
+    exactly the two-tap row interp the old stage-1/2 computed); for
+    axis-aligned transforms (c == 0 or integer positions) the result is
+    bit-identical to bilinear, under shear it is a slightly softer but
+    valid resampler.
     """
     hs, w0 = img.shape
-    w = -(-w0 // _BS) * _BS
+    w = w0
     # EXT covers the worst-case shear reach |c|*W/2 about the column
-    # center, so stage-3's frame contains every source row that can map
-    # in-frame; G additionally covers the stage-1 slice overhang.
+    # center, so stage-4's frame contains every source row that can map
+    # in-frame; G additionally covers the level-1 slice overhang
+    # (32*t_max + level-2/3 reach below).
     ext = int(math.ceil(max_shear * w / 2)) + 4
-    g = 2 * ext + 8
-    if w > w0:
-        img = jnp.pad(img, ((0, 0), (0, w - w0)), constant_values=fill)
+    g = 2 * ext + 40
     # Replicate-pad the rows: padding with `fill` would let the composed
-    # (stage-2 then stage-3) kernel — which is ~1 px wider than bilinear —
+    # (shear then scale) kernel — which is ~1 px wider than bilinear —
     # bleed fill INTO the frame near the edges (measured up to ~1.4 px /
     # 20% fill weight on shears).  With edge replication the resample is
     # pure content; the oracle's exact 1-px partial-fill profile is then
@@ -189,29 +192,43 @@ def _resample_axis0(
 
     xs = jnp.arange(w, dtype=jnp.float32)
     q = c * (xs - w0 / 2.0)  # per-column shear offset, centered
-    nblk = w // _BS
-    xc = jnp.arange(nblk, dtype=jnp.float32) * _BS + (_BS - 1) / 2.0 - w0 / 2.0
-    s_blk = jnp.clip(jnp.floor(c * xc), -(ext - 2), ext - 2).astype(jnp.int32)
-
-    # stage 1: block_out[j, x] = img_pad[g + (j - ext - 4) + s_blk(x), x];
-    # j indexes source rows (j - ext - 4) + s_blk — coarse (Hf, 8) slices.
-    hf = hs + 2 * ext + 8
-    blocks = img_pad.reshape(img_pad.shape[0], nblk, _BS)
-    block_out = jax.vmap(
-        lambda s, col: jax.lax.dynamic_slice(col, (g - ext - 4 + s, 0), (hf, _BS)),
-        in_axes=(0, 1),
-        out_axes=1,
-    )(s_blk, blocks).reshape(hf, w)
-
-    # stage 2: fractional residual r = q - s_blk in (-4, 5) as 8 static taps
-    r = q - jnp.repeat(s_blk, _BS).astype(jnp.float32)
-    i_r = jnp.floor(r)
-    f_r = r - i_r
     jm = hs + 2 * ext
+    base = g - 2 * ext  # l3[j, x] == img_pad[base + Q + j, x] == old b3
+
+    Q = jnp.clip(q + ext, 0.0, 2.0 * ext - 1.001)
+    t_idx = jnp.floor(Q / 32.0)
+    rem32 = Q - 32.0 * t_idx
+    u_idx = jnp.floor(rem32 / 4.0)
+    rem4 = rem32 - 4.0 * u_idx
+    i_r = jnp.floor(rem4)
+    f_r = rem4 - i_r
+
+    # level 1: 32-granule — l1[j] = img_pad[base + 32*t + j], j < jm + 36
+    n1 = (2 * ext - 1) // 32 + 1
+    h1 = jm + 36
+    l1 = jnp.zeros((h1, w), img.dtype)
+    for t in range(n1):
+        w_t = (t_idx == t).astype(img.dtype)
+        l1 = l1 + w_t[None, :] * jax.lax.slice_in_dim(
+            img_pad, base + 32 * t, base + 32 * t + h1, axis=0
+        )
+    # level 2: 4-granule within [0, 32) — l2[j] = l1[4*u + j], j < jm + 4
+    h2 = jm + 4
+    l2 = jnp.zeros((h2, w), img.dtype)
+    for u in range(8):
+        w_u = (u_idx == u).astype(img.dtype)
+        l2 = l2 + w_u[None, :] * jax.lax.slice_in_dim(
+            l1, 4 * u, 4 * u + h2, axis=0
+        )
+    # level 3: integer remainder + fractional two-tap — exact bilinear
+    # row weights: d == i_r gets (1-f), d == i_r + 1 gets f
     b3 = jnp.zeros((jm, w), img.dtype)
-    for d in range(-3, 5):
-        w_d = jnp.where(i_r == d, 1.0 - f_r, 0.0) + jnp.where(i_r == d - 1, f_r, 0.0)
-        b3 = b3 + w_d[None, :] * jax.lax.slice_in_dim(block_out, 4 + d, 4 + d + jm, axis=0)
+    for d in range(5):
+        w_d = (
+            jnp.where(i_r == d, 1.0 - f_r, 0.0)
+            + jnp.where(i_r == d - 1, f_r, 0.0)
+        ).astype(img.dtype)
+        b3 = b3 + w_d[None, :] * jax.lax.slice_in_dim(l2, d, d + jm, axis=0)
 
     # stage 3: row scale/offset as a two-diagonal matrix on the MXU
     ys = jnp.arange(hs, dtype=jnp.float32)

@@ -592,6 +592,7 @@ def synth_batch_step(
     net_cfg,
     data_cfg,
     train: bool = True,
+    step=None,
 ):
     """One full training batch synthesized and processed ON DEVICE.
 
@@ -607,6 +608,12 @@ def synth_batch_step(
     from ubdvss_tpu.data import finalize_batch
     from ubdvss_tpu.ops.augment import photometric, random_affine
 
+    if step is not None:
+        # per-step key derivation INSIDE the jit: the epoch loop then
+        # dispatches one program with one scalar argument per batch (a
+        # host-side fold_in per batch is a separate tiny dispatch — pure
+        # overhead, expensive on high-latency links)
+        key = jax.random.fold_in(key, step)
     k_gen, k_aug = jax.random.split(key)
     keys = jax.random.split(k_gen, data_cfg.batch_size)
     acfg = data_cfg.augment
@@ -669,11 +676,8 @@ class DeviceSyntheticBatches:
         ek = jax.random.fold_in(base, 0 if epoch is None else epoch)
         for step in range(len(self)):
             yield synth_batch_step(
-                jax.random.fold_in(ek, step),
-                self.sc,
-                self.net_cfg,
-                self.data_cfg,
-                self.train,
+                ek, self.sc, self.net_cfg, self.data_cfg, self.train,
+                step=step,
             )
 
     def __iter__(self):

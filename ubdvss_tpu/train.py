@@ -162,6 +162,49 @@ def checked_train_step(
     return err, out
 
 
+def make_fused_synth_step(sc, cfg: NetConfig, dc):
+    """ONE-program optimization step over on-device synthesized data:
+    scene generation (at the augmented pose) + photometric + rasterize +
+    fwd/bwd/adam compile into a single XLA program, so the epoch loop
+    issues exactly one dispatch with one scalar argument per step.
+
+    Profiled motivation (r4): on the tunneled dev chip each program
+    launch costs ~15-20 ms of host latency — two dispatches per step
+    (data program + train program) nearly doubled sustained epoch time;
+    on any host the fusion also lets the XLA scheduler overlap synthesis
+    with the step's tail instead of serializing at a program boundary.
+    Key schedule matches ``DeviceSyntheticBatches.epoch`` fold-for-fold,
+    so fused and unfused training consume identical sample streams."""
+    from ubdvss_tpu.synthgen import synth_batch_step
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused(state, ekey, step_idx, cls_schedule=None):
+        batch = synth_batch_step.__wrapped__(
+            ekey, sc, cfg, dc, True, step_idx
+        )
+        return train_step.__wrapped__(state, batch, cfg, cls_schedule)
+
+    return fused
+
+
+def make_fused_cached_step(cfg: NetConfig, dc):
+    """ONE-program step over the HBM-resident corpus: epoch-order slice +
+    corpus gather + augment + rasterize + fwd/bwd/adam in a single
+    dispatch per step (see make_fused_synth_step for why).  Order/key
+    values replicate ``DeviceCachedBatches.epoch`` exactly."""
+    from ubdvss_tpu.data import _cached_batch_at
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused(state, ekey, imgs, polys, nv, ci, order, bi,
+              cls_schedule=None):
+        batch = _cached_batch_at.__wrapped__(
+            ekey, imgs, polys, nv, ci, order, bi, cfg, dc, True
+        )
+        return train_step.__wrapped__(state, batch, cfg, cls_schedule)
+
+    return fused
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def eval_step(state: TrainState, batch: dict, cfg: NetConfig):
     # same auto-routed forward as train_step so val metrics are computed
@@ -259,15 +302,18 @@ class Trainer:
             return batch
         return shard_batch_to_mesh(batch, self.mesh)
 
+    def _cls_sched(self):
+        if self.cls_weight_end is None:
+            return None
+        return jnp.asarray(
+            [self.cfg.classification_loss_weight, self.cls_weight_end,
+             float(self.cls_weight_ramp_steps)],
+            jnp.float32,
+        )
+
     def step_fn(self, state: TrainState, batch: dict):
         """One optimization step on already-placed (state, batch)."""
-        sched = None
-        if self.cls_weight_end is not None:
-            sched = jnp.asarray(
-                [self.cfg.classification_loss_weight, self.cls_weight_end,
-                 float(self.cls_weight_ramp_steps)],
-                jnp.float32,
-            )
+        sched = self._cls_sched()
         if self.debug_checks:
             err, out = checked_train_step(state, batch, self.cfg, sched)
             err.throw()
@@ -276,6 +322,72 @@ class Trainer:
 
     def _step(self, batch):
         return self.step_fn(self.state, self.place_batch(batch))
+
+    def _epoch_steps(self, train_batches, epoch: int):
+        """Yield step thunks ``state -> (state, metrics)`` for one epoch.
+
+        Device-resident pipelines (DeviceSyntheticBatches /
+        DeviceCachedBatches) fuse data production INTO the train program
+        — one dispatch per optimization step (make_fused_synth_step /
+        make_fused_cached_step); sample streams are identical to the
+        unfused path.  Host-fed pipelines keep the prefetched
+        batch-then-step loop.  Fusion is skipped under a mesh (batches
+        must be sharded host-side) and under --debug-nan (checkify wraps
+        the unfused step).
+        """
+        from ubdvss_tpu.data import DeviceCachedBatches, _cached_batch_step
+        from ubdvss_tpu.synthgen import DeviceSyntheticBatches
+        from ubdvss_tpu.utils.prefetch import prefetched
+
+        fuse = self.mesh is None and not self.debug_checks
+        sched = self._cls_sched()
+        if fuse and isinstance(train_batches, DeviceSyntheticBatches):
+            if getattr(self, "_fused_synth", None) is None:
+                self._fused_synth = make_fused_synth_step(
+                    train_batches.sc, self.cfg, train_batches.data_cfg
+                )
+            ek = jax.random.fold_in(
+                jax.random.PRNGKey(train_batches.seed), epoch
+            )
+            for s in range(len(train_batches)):
+                yield lambda st, s=s: self._fused_synth(st, ek, s, sched)
+            return
+        if fuse and isinstance(train_batches, DeviceCachedBatches):
+            if getattr(self, "_fused_cached", None) is None:
+                self._fused_cached = make_fused_cached_step(
+                    self.cfg, train_batches.data_cfg
+                )
+            tb, dc = train_batches, train_batches.data_cfg
+            order = np.arange(tb._n)
+            rng = np.random.default_rng(dc.seed + epoch)
+            if dc.shuffle and tb.train:
+                rng.shuffle(order)
+            order_dev = jnp.asarray(order, jnp.int32)
+            ekey = jax.random.key(dc.seed * 7919 + epoch)
+            b = dc.batch_size
+            n_full = tb._n // b
+            for bi in range(len(tb)):
+                if bi < n_full:
+                    yield lambda st, bi=bi: self._fused_cached(
+                        st, ekey, tb._imgs, tb._polys, tb._nv, tb._ci,
+                        order_dev, bi, sched,
+                    )
+                else:  # partial tail (drop_remainder=False)
+                    yield lambda st, bi=bi: self.step_fn(
+                        st,
+                        _cached_batch_step(
+                            jax.random.fold_in(ekey, bi),
+                            tb._imgs, tb._polys, tb._nv, tb._ci,
+                            jnp.asarray(order[bi * b :], jnp.int32),
+                            self.cfg, dc, True,
+                        ),
+                    )
+            return
+        # one-deep-plus feed/compute overlap: host collate + H2D of
+        # batch N+1 run in a worker thread while the chip executes
+        # step N (the streaming.py double-buffer pattern for training)
+        for batch in prefetched(train_batches.epoch(epoch), depth=2):
+            yield lambda st, b=batch: self.step_fn(st, self.place_batch(b))
 
     def _image_summary(self, step: int, batch) -> None:
         """Prediction overlays for the first val images (host, off hot path)."""
@@ -297,16 +409,11 @@ class Trainer:
         epochs: int,
         val_batches: Batches | None = None,
     ) -> TrainState:
-        from ubdvss_tpu.utils.prefetch import prefetched
-
         step = int(self.state.step)
         metrics = None
         for epoch in range(epochs):
-            # one-deep-plus feed/compute overlap: host collate + H2D of
-            # batch N+1 run in a worker thread while the chip executes
-            # step N (the streaming.py double-buffer pattern for training)
-            for batch in prefetched(train_batches.epoch(epoch), depth=2):
-                self.state, metrics = self._step(batch)
+            for run in self._epoch_steps(train_batches, epoch):
+                self.state, metrics = run(self.state)
                 step += 1
                 if step % self.log_every == 0:
                     self.logger.log(step, jax.device_get(metrics), "train")
