@@ -59,14 +59,26 @@ def _train_epoch_stages(args, cfg, dc, batches, B, S, n_samples):
     key = jax.random.PRNGKey(123)
     out = {}
 
-    def timed(fn, n=iters):
-        acc = fn(0)
-        float(jax.device_get(acc))  # compile + warm
+    def timed(fn, n=iters, consts=()):
+        """Device ms per iteration: the n iterations run inside ONE
+        jitted lax.scan, so the number excludes program-launch latency
+        (15-45 ms/dispatch on the tunneled dev chip — bigger than most
+        stages).  ``consts``: device arrays the probe needs, passed as
+        jit arguments (closure arrays would be baked into the HLO as
+        literals — a multi-hundred-MB corpus blows the remote-compile
+        request limit)."""
+
+        @jax.jit
+        def many(zero, *cs):
+            def body(c, i):
+                return c + fn(i, *cs), None
+
+            c, _ = jax.lax.scan(body, zero, jnp.arange(n))
+            return c
+
+        float(jax.device_get(many(jnp.float32(0), *consts)))  # compile+warm
         t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for i in range(n):
-            acc = acc + fn(i)
-        float(jax.device_get(acc))
+        float(jax.device_get(many(jnp.float32(0), *consts)))
         return (time.perf_counter() - t0) / n * 1e3
 
     if args.device_synth:
@@ -87,47 +99,54 @@ def _train_epoch_stages(args, cfg, dc, batches, B, S, n_samples):
             )
             return photometric(k_phot, img, acfg), polys, nv, ci
 
-        @jax.jit
-        def gen_probe(k):
-            kg, ka = jax.random.split(k)
+        def gen_probe(i):
+            kg, ka = jax.random.split(jax.random.fold_in(key, i))
             imgs, polys, nv, ci = jax.vmap(gen_one)(
                 jax.random.split(kg, B), jax.random.split(ka, B)
             )
             return imgs.sum() + polys.sum() + nv.sum() + ci.sum()
 
-        out["generate_augment"] = round(
-            timed(lambda i: gen_probe(jax.random.fold_in(key, i))), 2
-        )
+        out["generate_augment"] = round(timed(gen_probe), 2)
         kg, ka = jax.random.split(key)
         imgs, polys, nv, ci = jax.jit(jax.vmap(gen_one))(
             jax.random.split(kg, B), jax.random.split(ka, B)
         )
+        # the synth path rasterizes object-windowed (synth_batch_step
+        # derives the GT bound); mirror it so the stage matches the epoch
+        import dataclasses as _dc
 
-        @jax.jit
-        def prep_probe(x):
-            b = finalize_batch(imgs + x, polys, nv, ci, cfg, dc)
+        win_in = min(128, S, S)
+        wn = (win_in - 4) // cfg.scale + 4
+        dc_w = _dc.replace(
+            dc,
+            raster_window=min(-(-wn // 8) * 8, S // cfg.scale),
+        )
+
+        def prep_probe(i, im, po, nv_, ci_):
+            b = finalize_batch(
+                im + 0.0 * i, po, nv_, ci_, cfg, dc_w
+            )
             return b["images"].sum() + b["segmap"].sum()
 
         out["normalize_rasterize"] = round(
-            timed(lambda i: prep_probe(jnp.float32(i) * 0)), 2
+            timed(prep_probe, consts=(imgs, polys, nv, ci)), 2
         )
-        batch = finalize_batch(imgs, polys, nv, ci, cfg, dc)
+        batch = finalize_batch(imgs, polys, nv, ci, cfg, dc_w)
     elif args.cache_device:
         from ubdvss_tpu.data import _cached_batch_step
 
         idx = jnp.arange(B)
 
-        # corpus tensors must be jit ARGUMENTS — closing over them bakes
-        # the (possibly hundreds-of-MB) corpus into the HLO as literals
-        @jax.jit
-        def cache_probe(k, im, po, nv_, ci_):
-            b = _cached_batch_step(k, im, po, nv_, ci_, idx, cfg, dc, True)
+        def cache_probe(i, im, po, nv_, ci_):
+            b = _cached_batch_step.__wrapped__(
+                jax.random.fold_in(key, i), im, po, nv_, ci_, idx, cfg,
+                dc, True,
+            )
             return b["images"].sum() + b["segmap"].sum()
 
         out["gather_augment_rasterize"] = round(
-            timed(lambda i: cache_probe(
-                jax.random.fold_in(key, i), batches._imgs, batches._polys,
-                batches._nv, batches._ci,
+            timed(cache_probe, consts=(
+                batches._imgs, batches._polys, batches._nv, batches._ci,
             )), 2
         )
         batch = _cached_batch_step(
@@ -147,13 +166,15 @@ def _train_epoch_stages(args, cfg, dc, batches, B, S, n_samples):
         )
         imgs, polys = x, p
 
-        @jax.jit
-        def prep_probe(k):
-            b = device_batch_step(k, imgs, polys, nv, ci, cfg, dc, True)
+        def prep_probe(i, im, po, nv_, ci_):
+            b = device_batch_step.__wrapped__(
+                jax.random.fold_in(key, i + 7), im, po, nv_, ci_, cfg,
+                dc, True,
+            )
             return b["images"].sum() + b["segmap"].sum()
 
         out["augment_rasterize"] = round(
-            timed(lambda i: prep_probe(jax.random.fold_in(key, i + 7))), 2
+            timed(prep_probe, consts=(imgs, polys, nv, ci)), 2
         )
         batch = device_batch_step(
             jax.random.fold_in(key, 9), imgs, polys, nv, ci, cfg, dc, True
@@ -368,13 +389,14 @@ def main():
                 make_fused_synth_step,
             )
 
+            # whole epoch as ONE dispatched program (lax.scan over steps)
+            spd = len(batches)
             if args.device_synth:
                 fused = make_fused_synth_step(batches.sc, cfg, dc)
 
                 def epoch_steps(e):
                     ek = jax.random.fold_in(jax.random.PRNGKey(7), e)
-                    for s in range(len(batches)):
-                        yield lambda st, s=s: fused(st, ek, s)
+                    yield (lambda st: fused(st, ek, 0, steps=spd)), spd * B
             else:
                 fused = make_fused_cached_step(cfg, dc)
 
@@ -383,24 +405,23 @@ def main():
                     np.random.default_rng(dc.seed + e).shuffle(order)
                     od = jnp.asarray(order, jnp.int32)
                     ekey = jax.random.key(dc.seed * 7919 + e)
-                    for bi in range(batches._n // B):
-                        yield lambda st, bi=bi: fused(
-                            st, ekey, batches._imgs, batches._polys,
-                            batches._nv, batches._ci, od, bi,
-                        )
+                    yield (lambda st: fused(
+                        st, ekey, batches._imgs, batches._polys,
+                        batches._nv, batches._ci, od, 0, steps=spd,
+                    )), spd * B
         else:
             def epoch_steps(e):
                 for batch in feed(e):
-                    yield lambda st, b=batch: train_step(st, b, cfg)
-        for run in epoch_steps(0):  # warmup epoch: renders + compiles
+                    yield (lambda st, b=batch: train_step(st, b, cfg)), B
+        for run, _ in epoch_steps(0):  # warmup epoch: renders + compiles
             state, m = run(state)
         float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
         n_imgs = 0
         for e in range(1, args.epochs + 1):
-            for run in epoch_steps(e):
+            for run, k in epoch_steps(e):
                 state, m = run(state)
-                n_imgs += B
+                n_imgs += k
         float(jax.device_get(m["loss"]))  # chained through donated state
         dt = time.perf_counter() - t0
         ips = n_imgs / dt

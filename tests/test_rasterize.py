@@ -79,3 +79,43 @@ def test_polygons_to_grid():
     np.testing.assert_allclose(
         np.asarray(polygons_to_grid(p, 4)), [[[2.0, 4.0], [6.0, 2.0]]]
     )
+
+
+def test_windowed_matches_dense_for_bounded_polys():
+    """rasterize_polygons_windowed must equal the dense path exactly for
+    polys whose AABB fits the window — including overlapping polys
+    (last-wins) and frame-edge objects."""
+    from ubdvss_tpu.ops.rasterize import (
+        rasterize_polygons,
+        rasterize_polygons_windowed,
+    )
+
+    rng = np.random.default_rng(0)
+    H = W = 64
+    wn = 24
+    for trial in range(6):
+        P, V = 5, 6
+        polys = np.zeros((P, V, 2), np.float32)
+        n_verts = np.zeros(P, np.int32)
+        class_ids = np.zeros(P, np.int32)
+        for p in range(P):
+            # random convex-ish polygon with AABB <= wn-2, anywhere
+            # in-frame (incl. hugging the border); overlaps allowed
+            cx = rng.uniform(2, W - 2)
+            cy = rng.uniform(2, H - 2)
+            nv = int(rng.integers(3, V + 1))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            r = rng.uniform(2, (wn - 5) / 2, nv)
+            xs = np.clip(np.round(cx + r * np.cos(ang)), 0, W - 1)
+            ys = np.clip(np.round(cy + r * np.sin(ang)), 0, H - 1)
+            polys[p, :nv, 0] = xs
+            polys[p, :nv, 1] = ys
+            n_verts[p] = nv
+            class_ids[p] = 1 + int(rng.integers(0, 4))
+        dense = np.asarray(rasterize_polygons(
+            polys, n_verts, class_ids, (H, W)
+        ))
+        windowed = np.asarray(rasterize_polygons_windowed(
+            polys, n_verts, class_ids, (H, W), wn
+        ))
+        np.testing.assert_array_equal(windowed, dense, err_msg=f"trial {trial}")

@@ -269,17 +269,22 @@ def test_fused_synth_step_matches_unfused_stream():
     tr = Trainer(cfg, dc, lr=1e-3, seed=0)
     tr.fit(batches, epochs=2)
 
+    # multi-step dispatch (lax.scan chunking) must walk the same stream
+    tr2 = Trainer(cfg, dc, lr=1e-3, seed=0, steps_per_dispatch=2)
+    tr2.fit(batches, epochs=2)
+
     state = create_train_state(cfg, lr=1e-3, seed=0)
     for epoch in range(2):
         for batch in batches.epoch(epoch):
             state, _ = train_step(state, batch, cfg)
 
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=2e-6
-        ),
-        jax.device_get(tr.state.params), jax.device_get(state.params),
-    )
+    for got in (tr.state.params, tr2.state.params):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6
+            ),
+            jax.device_get(got), jax.device_get(state.params),
+        )
 
 
 def test_fused_cached_step_matches_unfused_stream():

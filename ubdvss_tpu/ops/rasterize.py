@@ -138,7 +138,121 @@ def rasterize_polygons(
 
     pidx = jnp.arange(P, dtype=jnp.int32)
     last = jnp.max(jnp.where(hit, pidx[:, None, None], -1), axis=0)  # (H, W)
-    return jnp.where(last >= 0, class_ids[jnp.maximum(last, 0)], 0).astype(jnp.int32)
+    # class lookup WITHOUT a per-pixel gather (class_ids[last] profiled at
+    # 17 ms/batch on the v5e — TPU gathers serialize): select-sum over the
+    # static P slots, exact because `last` matches at most one slot
+    return jnp.sum(
+        jnp.where(
+            last[None] == pidx[:, None, None],
+            class_ids.astype(jnp.int32)[:, None, None],
+            0,
+        ),
+        axis=0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "window"))
+def rasterize_polygons_windowed(
+    polys: jax.Array,
+    n_verts: jax.Array,
+    class_ids: jax.Array,
+    out_hw: tuple[int, int],
+    window: int,
+) -> jax.Array:
+    """``rasterize_polygons`` for SIZE-BOUNDED polygons, object-windowed.
+
+    The dense path evaluates every polygon against every grid pixel —
+    profiled at 11.4 ms/batch device time on the v5e for 128² grids
+    (the single biggest op of the training data pipeline).  When every
+    polygon's AABB fits a ``window``×``window`` box (the on-device
+    synthesis path guarantees ≤ ~35 grid px at scale 4), evaluating each
+    polygon only on a window anchored at its centroid cuts the pixel ×
+    polygon work ~10×; the per-poly window hits are then placed into the
+    full grid by one-hot row/col matmuls (no scatter — see
+    synthgen's composite for the same trick) KEEPING the poly dim, so the
+    final last-poly-wins/class-select reduction is identical to the dense
+    path, overlapping polygons included.
+
+    Contract: polygons whose AABB exceeds ``window - 4`` (2 px slack per
+    side for anchor rounding + even-origin snapping) may be silently
+    clipped to their window — callers must size ``window`` to their GT
+    bound (the dense path stays the default for unbounded data).
+    Exactness vs the dense path for in-bound polys:
+    tests/test_rasterize.py.
+    """
+    H, W = out_hw
+    wn = min(window, H, W)
+    P, V, _ = polys.shape
+    px = polys[..., 0].astype(jnp.float32)
+    py = polys[..., 1].astype(jnp.float32)
+    vidx = jnp.arange(V)
+    vvalid = vidx[None, :] < n_verts[:, None]
+    nxt = jnp.where(
+        n_verts[:, None] > 0,
+        (vidx[None, :] + 1) % jnp.maximum(n_verts[:, None], 1),
+        0,
+    )
+    x1 = jnp.take_along_axis(px, nxt, axis=1)
+    y1 = jnp.take_along_axis(py, nxt, axis=1)
+    poly_ok = n_verts >= 3
+
+    # window anchor per poly: AABB center (the vertex centroid can sit
+    # arbitrarily off-center for irregular polys), clamped in-frame
+    big = jnp.float32(1e9)
+    cx = (
+        jnp.min(jnp.where(vvalid, px, big), 1)
+        + jnp.max(jnp.where(vvalid, px, -big), 1)
+    ) / 2.0
+    cy = (
+        jnp.min(jnp.where(vvalid, py, big), 1)
+        + jnp.max(jnp.where(vvalid, py, -big), 1)
+    ) / 2.0
+    cx = jnp.where(poly_ok, cx, 0.0)
+    cy = jnp.where(poly_ok, cy, 0.0)
+    # EVEN origins: the DDA/crossing math rounds half-ties to-even, and
+    # an odd coordinate shift flips tie parity (round(36.5)=36 but
+    # round(15.5)=16) — even shifts preserve every tie decision, keeping
+    # the windowed result bit-equal to the dense path
+    x0 = jnp.clip(jnp.round(cx).astype(jnp.int32) - wn // 2, 0, W - wn)
+    y0 = jnp.clip(jnp.round(cy).astype(jnp.int32) - wn // 2, 0, H - wn)
+    x0 = x0 // 2 * 2
+    y0 = y0 // 2 * 2
+
+    # evaluate on window coords by shifting each poly to its window frame
+    sx = px - x0[:, None].astype(jnp.float32)
+    sy = py - y0[:, None].astype(jnp.float32)
+    sx1 = x1 - x0[:, None].astype(jnp.float32)
+    sy1 = y1 - y0[:, None].astype(jnp.float32)
+    hit_w = (
+        _interior_mask(sx, sy, sx1, sy1, vvalid, poly_ok, (wn, wn))
+        | _outline_mask(sx, sy, sx1, sy1, vvalid, poly_ok, (wn, wn))
+    ).astype(jnp.float32)  # (P, wn, wn)
+
+    # one-hot placement into the full grid, poly dim KEPT (overlap-exact)
+    iw = jnp.arange(wn, dtype=jnp.int32)
+    R = (
+        (y0[:, None, None] + iw[None, :, None])
+        == jnp.arange(H, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # (P, wn, H)
+    C = (
+        (x0[:, None, None] + iw[None, :, None])
+        == jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # (P, wn, W)
+    hit = jnp.einsum("pih,pij->phj", R, hit_w)
+    hit = jnp.einsum("phj,pjx->phx", hit, C) > 0.5  # (P, H, W)
+
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    last = jnp.max(jnp.where(hit, pidx[:, None, None], -1), axis=0)
+    # gather-free class lookup (see rasterize_polygons): select-sum over
+    # the static P slots
+    return jnp.sum(
+        jnp.where(
+            last[None] == pidx[:, None, None],
+            class_ids.astype(jnp.int32)[:, None, None],
+            0,
+        ),
+        axis=0,
+    )
 
 
 def polygons_to_grid(

@@ -568,17 +568,33 @@ def generate_scene(
     vals, insides = jax.vmap(render)(o, x0.astype(jnp.float32),
                                      y0.astype(jnp.float32))
 
-    def comp(im, xs):
-        val, ins, oy, ox = xs
-        cur = jax.lax.dynamic_slice(im, (oy, ox), (wsy, wsx))
-        return (
-            jax.lax.dynamic_update_slice(
-                im, jnp.where(ins, val, cur), (oy, ox)
-            ),
-            None,
-        )
-
-    img, _ = jax.lax.scan(comp, img, (vals, insides, y0, x0))
+    # Composite via one-hot MXU placement — NO scatter.  The previous
+    # scan of dynamic_update_slices at per-object offsets lowered (under
+    # batch vmap) to an XLA while loop, profiled as ~3/4 of the whole
+    # generator's device time.  Row/col placement matrices R (P, wsy, H)
+    # and C (P, wsx, W) are one-hot in their window dim, so the sandwich
+    # Σ_p Rᵀ (ins·val) C is two matmuls whose per-output sums each have
+    # at most ONE nonzero term (window one-hots + disjoint objects) —
+    # bit-exact placement, even through TPU bf16 matmul passes (every
+    # operand value {0, 1, val∈{0,255}} is exactly representable).
+    iy = jnp.arange(wsy, dtype=jnp.int32)
+    ix = jnp.arange(wsx, dtype=jnp.int32)
+    R = (
+        (y0[:, None, None] + iy[None, :, None])
+        == jnp.arange(H, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # (P, wsy, H)
+    C = (
+        (x0[:, None, None] + ix[None, :, None])
+        == jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # (P, wsx, W)
+    ins_f = insides.astype(jnp.float32)
+    placed = jnp.einsum(
+        "pih,pij->phj", R, jnp.where(insides, vals, 0.0)
+    )
+    placed = jnp.einsum("phj,pjx->hx", placed, C)
+    cov = jnp.einsum("pih,pij->phj", R, ins_f)
+    cov = jnp.einsum("phj,pjx->hx", cov, C)
+    img = img * (1.0 - cov) + placed
     img = jnp.clip(img, 0.0, 255.0)
     return img, polys, n_verts, class_ids
 
@@ -607,6 +623,16 @@ def synth_batch_step(
     """
     from ubdvss_tpu.data import finalize_batch
     from ubdvss_tpu.ops.augment import photometric, random_affine
+
+    if data_cfg.raster_window is None:
+        # synthesized objects are size-capped (render-window shrink, incl.
+        # the post-affine cap) — derive the GT bound and rasterize
+        # object-windowed (~10× cheaper than the dense pixel×poly pass)
+        win_in = min(128, sc.hw[0], sc.hw[1])
+        wn = (win_in - 4) // net_cfg.scale + 4
+        wn = min(-(-wn // 8) * 8,
+                 sc.hw[0] // net_cfg.scale, sc.hw[1] // net_cfg.scale)
+        data_cfg = dataclasses.replace(data_cfg, raster_window=wn)
 
     if step is not None:
         # per-step key derivation INSIDE the jit: the epoch loop then

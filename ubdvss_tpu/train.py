@@ -177,12 +177,27 @@ def make_fused_synth_step(sc, cfg: NetConfig, dc):
     so fused and unfused training consume identical sample streams."""
     from ubdvss_tpu.synthgen import synth_batch_step
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fused(state, ekey, step_idx, cls_schedule=None):
-        batch = synth_batch_step.__wrapped__(
-            ekey, sc, cfg, dc, True, step_idx
-        )
-        return train_step.__wrapped__(state, batch, cfg, cls_schedule)
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("steps",))
+    def fused(state, ekey, step_idx, cls_schedule=None, steps: int = 1):
+        if steps == 1:
+            batch = synth_batch_step.__wrapped__(
+                ekey, sc, cfg, dc, True, step_idx
+            )
+            return train_step.__wrapped__(state, batch, cfg, cls_schedule)
+
+        # multi-step dispatch: scan `steps` optimization steps inside ONE
+        # program — program-launch overhead (≈15 ms on the tunneled dev
+        # chip) amortizes 1/steps, and the scheduler overlaps step N's
+        # tail with step N+1's synthesis.  Key stream identical to the
+        # single-step path (fold_in(ekey, step_idx + s)).
+        def body(st, s):
+            batch = synth_batch_step.__wrapped__(
+                ekey, sc, cfg, dc, True, step_idx + s
+            )
+            return train_step.__wrapped__(st, batch, cfg, cls_schedule)
+
+        state, ms = jax.lax.scan(body, state, jnp.arange(steps))
+        return state, jax.tree.map(lambda a: a[-1], ms)
 
     return fused
 
@@ -194,13 +209,23 @@ def make_fused_cached_step(cfg: NetConfig, dc):
     values replicate ``DeviceCachedBatches.epoch`` exactly."""
     from ubdvss_tpu.data import _cached_batch_at
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("steps",))
     def fused(state, ekey, imgs, polys, nv, ci, order, bi,
-              cls_schedule=None):
-        batch = _cached_batch_at.__wrapped__(
-            ekey, imgs, polys, nv, ci, order, bi, cfg, dc, True
-        )
-        return train_step.__wrapped__(state, batch, cfg, cls_schedule)
+              cls_schedule=None, steps: int = 1):
+        if steps == 1:
+            batch = _cached_batch_at.__wrapped__(
+                ekey, imgs, polys, nv, ci, order, bi, cfg, dc, True
+            )
+            return train_step.__wrapped__(state, batch, cfg, cls_schedule)
+
+        def body(st, b):
+            batch = _cached_batch_at.__wrapped__(
+                ekey, imgs, polys, nv, ci, order, bi + b, cfg, dc, True
+            )
+            return train_step.__wrapped__(st, batch, cfg, cls_schedule)
+
+        state, ms = jax.lax.scan(body, state, jnp.arange(steps))
+        return state, jax.tree.map(lambda a: a[-1], ms)
 
     return fused
 
@@ -241,6 +266,10 @@ class Trainer:
     # over cls_weight_ramp_steps (None = constant cfg weight)
     cls_weight_end: float | None = None
     cls_weight_ramp_steps: int = 10_000
+    # device-resident pipelines only: lax.scan this many optimization
+    # steps inside ONE dispatched program (amortizes program-launch
+    # overhead; logging/checkpoint cadence quantizes to the chunk)
+    steps_per_dispatch: int = 1
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -324,16 +353,18 @@ class Trainer:
         return self.step_fn(self.state, self.place_batch(batch))
 
     def _epoch_steps(self, train_batches, epoch: int):
-        """Yield step thunks ``state -> (state, metrics)`` for one epoch.
+        """Yield ``(thunk, n_steps)`` pairs for one epoch, where
+        ``thunk: state -> (state, metrics)`` advances ``n_steps``
+        optimization steps.
 
         Device-resident pipelines (DeviceSyntheticBatches /
         DeviceCachedBatches) fuse data production INTO the train program
-        — one dispatch per optimization step (make_fused_synth_step /
-        make_fused_cached_step); sample streams are identical to the
-        unfused path.  Host-fed pipelines keep the prefetched
-        batch-then-step loop.  Fusion is skipped under a mesh (batches
-        must be sharded host-side) and under --debug-nan (checkify wraps
-        the unfused step).
+        (make_fused_synth_step / make_fused_cached_step) and scan
+        ``steps_per_dispatch`` steps per program; sample streams are
+        identical to the unfused path.  Host-fed pipelines keep the
+        prefetched batch-then-step loop.  Fusion is skipped under a mesh
+        (batches must be sharded host-side) and under --debug-nan
+        (checkify wraps the unfused step).
         """
         from ubdvss_tpu.data import DeviceCachedBatches, _cached_batch_step
         from ubdvss_tpu.synthgen import DeviceSyntheticBatches
@@ -349,8 +380,18 @@ class Trainer:
             ek = jax.random.fold_in(
                 jax.random.PRNGKey(train_batches.seed), epoch
             )
-            for s in range(len(train_batches)):
-                yield lambda st, s=s: self._fused_synth(st, ek, s, sched)
+            n = len(train_batches)
+            k = max(1, min(self.steps_per_dispatch, n))
+            s = 0
+            while s < n:
+                kk = min(k, n - s)
+                yield (
+                    lambda st, s=s, kk=kk: self._fused_synth(
+                        st, ek, s, sched, steps=kk
+                    ),
+                    kk,
+                )
+                s += kk
             return
         if fuse and isinstance(train_batches, DeviceCachedBatches):
             if getattr(self, "_fused_cached", None) is None:
@@ -366,14 +407,21 @@ class Trainer:
             ekey = jax.random.key(dc.seed * 7919 + epoch)
             b = dc.batch_size
             n_full = tb._n // b
-            for bi in range(len(tb)):
-                if bi < n_full:
-                    yield lambda st, bi=bi: self._fused_cached(
+            k = max(1, min(self.steps_per_dispatch, max(n_full, 1)))
+            bi = 0
+            while bi < n_full:
+                kk = min(k, n_full - bi)
+                yield (
+                    lambda st, bi=bi, kk=kk: self._fused_cached(
                         st, ekey, tb._imgs, tb._polys, tb._nv, tb._ci,
-                        order_dev, bi, sched,
-                    )
-                else:  # partial tail (drop_remainder=False)
-                    yield lambda st, bi=bi: self.step_fn(
+                        order_dev, bi, sched, steps=kk,
+                    ),
+                    kk,
+                )
+                bi += kk
+            if n_full < len(tb):  # partial tail (drop_remainder=False)
+                yield (
+                    lambda st, bi=n_full: self.step_fn(
                         st,
                         _cached_batch_step(
                             jax.random.fold_in(ekey, bi),
@@ -381,13 +429,18 @@ class Trainer:
                             jnp.asarray(order[bi * b :], jnp.int32),
                             self.cfg, dc, True,
                         ),
-                    )
+                    ),
+                    1,
+                )
             return
         # one-deep-plus feed/compute overlap: host collate + H2D of
         # batch N+1 run in a worker thread while the chip executes
         # step N (the streaming.py double-buffer pattern for training)
         for batch in prefetched(train_batches.epoch(epoch), depth=2):
-            yield lambda st, b=batch: self.step_fn(st, self.place_batch(b))
+            yield (
+                lambda st, b=batch: self.step_fn(st, self.place_batch(b)),
+                1,
+            )
 
     def _image_summary(self, step: int, batch) -> None:
         """Prediction overlays for the first val images (host, off hot path)."""
@@ -411,14 +464,17 @@ class Trainer:
     ) -> TrainState:
         step = int(self.state.step)
         metrics = None
+        last_logged = last_saved = step
         for epoch in range(epochs):
-            for run in self._epoch_steps(train_batches, epoch):
+            for run, k in self._epoch_steps(train_batches, epoch):
                 self.state, metrics = run(self.state)
-                step += 1
-                if step % self.log_every == 0:
+                step += k
+                if step - last_logged >= self.log_every:
                     self.logger.log(step, jax.device_get(metrics), "train")
-                if self.ckpt and step % self.checkpoint_every == 0:
+                    last_logged = step
+                if self.ckpt and step - last_saved >= self.checkpoint_every:
                     self.ckpt.save(step, self.state)
+                    last_saved = step
             if val_batches is not None:
                 agg: dict[str, list] = {}
                 first_batch = None
@@ -487,6 +543,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=256)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="device-resident pipelines: lax.scan this many "
+                        "optimization steps inside one dispatched program "
+                        "(amortizes launch overhead; logging/checkpoints "
+                        "quantize to the chunk)")
     p.add_argument("--cache-device", action="store_true",
                    help="cache the decoded training corpus in device HBM "
                         "(data.DeviceCachedBatches): every epoch after the "
@@ -675,6 +736,7 @@ def main(argv: list[str] | None = None) -> Trainer:
         mesh=mesh,
         cls_weight_end=args.cls_weight_end,
         cls_weight_ramp_steps=args.cls_weight_ramp_steps,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     if args.resume:
         trainer.maybe_resume()
