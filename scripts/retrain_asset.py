@@ -29,9 +29,15 @@ assets/pretrained_dense_synthetic.npz.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python scripts/retrain_asset.py` from anywhere
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main():
@@ -51,6 +57,9 @@ def main():
     ap.add_argument("--cls-base", type=float, default=0.25)
     ap.add_argument("--cls-end", type=float, default=4.0)
     ap.add_argument("--ramp-frac", type=float, default=0.4)
+    ap.add_argument("--no-augment", action="store_true",
+                    help="train on clean renders (no geometric/photometric "
+                         "augmentation)")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +91,8 @@ def main():
         )
 
     dc = DataConfig(batch_size=args.batch_size, train_hw=(S, S),
-                    max_polys=4, seed=args.seed)
+                    max_polys=4, seed=args.seed,
+                    augment=None if args.no_augment else DataConfig().augment)
     reader = SyntheticMarkupReader(
         n_samples=args.train_samples, image_hw=(S, S), seed=42
     )
@@ -114,6 +124,24 @@ def main():
         cfg, lr=args.lr, seed=args.seed, schedule="cosine",
         decay_steps=total_steps,
     )
+    # whole epoch per dispatched program (train.make_fused_cached_step,
+    # lax.scan over the epoch's steps) — the 400-epoch arm is minutes
+    from ubdvss_tpu.train import make_fused_cached_step
+
+    fused = make_fused_cached_step(cfg, dc)
+
+    def run_epoch(state, epoch):
+        import jax.numpy as jnp
+
+        order = np.arange(args.train_samples)
+        np.random.default_rng(dc.seed + epoch).shuffle(order)
+        return fused(
+            state, jax.random.key(dc.seed * 7919 + epoch),
+            batches._imgs, batches._polys, batches._nv, batches._ci,
+            jnp.asarray(order, jnp.int32), 0, cls_schedule,
+            steps=steps_per_epoch,
+        )
+
     outdir = os.path.join(args.out, args.variant)
     os.makedirs(outdir, exist_ok=True)
     traj_path = os.path.join(outdir, "trajectory.jsonl")
@@ -122,9 +150,7 @@ def main():
     t0 = time.time()
     with open(traj_path, "w") as traj:
         for epoch in range(args.epochs):
-            m = None
-            for batch in batches.epoch(epoch):
-                state, m = train_step(state, batch, cfg, cls_schedule)
+            state, m = run_epoch(state, epoch)
             if (epoch + 1) % args.eval_every and epoch + 1 != args.epochs:
                 continue
             f1, acc = object_eval(state.params)
