@@ -291,8 +291,11 @@ def main():
     if quant:
         from ubdvss_tpu.ops.quant import quantize_trunk
 
+        # per-channel absmax statistics are size-independent — calibrate at
+        # <=512² (32 full-size 4096² calib images OOM'd the chip, and the
+        # host render alone would dominate bench startup)
         creader = SyntheticMarkupReader(
-            n_samples=32, image_hw=(args.image_size,) * 2, seed=99
+            n_samples=32, image_hw=(min(args.image_size, 512),) * 2, seed=99
         )
         calib = jnp.asarray(np.stack(
             [creader.sample_at(i).image for i in range(32)]

@@ -134,12 +134,13 @@ def detect_program_batch(
         return _detect_program_batch_int8(
             qparams, imgs, cfg, out_hw, channel_order, detections_only
         )
-    # fused path covers heatmaps up to 512x512 (2048px inputs, BASELINE
-    # config 4): the context module auto-selects dense-equivalent MXU convs
-    # past 128x128 feature maps (context_kernel.fused_model_apply) and the
-    # postproc CCL kernel compiles in ~25 s at 512x512.  Beyond that
-    # (>4096px scans) fall back to the XLA path or parallel.tiling.
-    if max(out_hw) // cfg.scale > 512:
+    # fused path covers heatmaps up to 1024x1024 (4096px scans, r4): the
+    # context module auto-selects dense-equivalent MXU convs past 128x128
+    # feature maps (context_kernel.fused_model_apply) and the packed
+    # postprocessing consumes (2,2)-packed 512²-per-phase maps (compile
+    # ~105 s at 4096², one-time).  Beyond that (>8192px scans) fall back
+    # to the XLA path or parallel.tiling.
+    if max(out_hw) // cfg.scale > 1024:
         fused = False
     return _detect_program_batch(
         params, imgs, cfg, out_hw, channel_order, fused,
@@ -342,7 +343,7 @@ def detect_preprocessed_batch(
         fused = _default_device_is_tpu()
     if qparams is not None:
         return _detect_preprocessed_int8(qparams, x, cfg, fused)
-    if max(x.shape[1], x.shape[2]) // cfg.scale > 512:
+    if max(x.shape[1], x.shape[2]) // cfg.scale > 1024:
         fused = False
     hw = (x.shape[1], x.shape[2])
     return _detect_preprocessed_batch(
