@@ -240,3 +240,30 @@ def test_setup_devices_cpu_fallback_gated():
     # within-bounds requests never fall back
     mesh1 = setup_devices("1")
     assert mesh1.devices.size == 1
+
+
+def test_sharded_synth_fused_dp_matches_single_device():
+    """Fused device-synth training under a data mesh (synthesis sharded
+    by GSPMD via the batch constraint) must match the single-device fused
+    run — identical sample stream, grads all-reduced."""
+    from ubdvss_tpu.data import DataConfig
+    from ubdvss_tpu.synthgen import DeviceSyntheticBatches
+    from ubdvss_tpu.train import Trainer
+
+    cfg = NetConfig(max_components=4)
+    dc = DataConfig(batch_size=4, train_hw=(64, 64), max_polys=4, seed=2)
+    batches = DeviceSyntheticBatches(cfg, dc, n_samples=8, seed=11)
+
+    t1 = Trainer(cfg, dc, lr=1e-3, seed=0)
+    t1.fit(batches, epochs=2)
+
+    mesh = _cpu_mesh(4, "data")
+    t4 = Trainer(cfg, dc, lr=1e-3, seed=0, mesh=mesh)
+    t4.fit(batches, epochs=2)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        jax.device_get(t1.state.params), jax.device_get(t4.state.params),
+    )

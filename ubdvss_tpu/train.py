@@ -164,7 +164,7 @@ def checked_train_step(
     return err, out
 
 
-def make_fused_synth_step(sc, cfg: NetConfig, dc):
+def make_fused_synth_step(sc, cfg: NetConfig, dc, mesh=None):
     """ONE-program optimization step over on-device synthesized data:
     scene generation (at the augmented pose) + photometric + rasterize +
     fwd/bwd/adam compile into a single XLA program, so the epoch loop
@@ -176,15 +176,44 @@ def make_fused_synth_step(sc, cfg: NetConfig, dc):
     on any host the fusion also lets the XLA scheduler overlap synthesis
     with the step's tail instead of serializing at a program boundary.
     Key schedule matches ``DeviceSyntheticBatches.epoch`` fold-for-fold,
-    so fused and unfused training consume identical sample streams."""
+    so fused and unfused training consume identical sample streams.
+
+    ``mesh``: data-parallel Mesh → SHARDED synthesis: a sharding
+    constraint on the synthesized batch makes GSPMD partition the whole
+    per-sample generation pipeline over the mesh's leading axis (scene
+    synthesis is embarrassingly batch-parallel), so every chip generates
+    only its own shard and the gradient all-reduce rides ICI as usual —
+    zero-host multi-chip training with no per-chip feed at all.  Sample
+    stream is identical to the single-device path (per-sample keys)."""
     from ubdvss_tpu.synthgen import synth_batch_step
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def constrain(batch):
+            def c(x):
+                spec = (
+                    P(axis, *([None] * (x.ndim - 1)))
+                    if x.ndim >= 1 else P()
+                )
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec)
+                )
+
+            return jax.tree.map(c, batch)
+    else:
+        def constrain(batch):
+            return batch
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("steps",))
     def fused(state, ekey, step_idx, cls_schedule=None, steps: int = 1):
         if steps == 1:
-            batch = synth_batch_step.__wrapped__(
+            batch = constrain(synth_batch_step.__wrapped__(
                 ekey, sc, cfg, dc, True, step_idx
-            )
+            ))
             return train_step.__wrapped__(state, batch, cfg, cls_schedule)
 
         # multi-step dispatch: scan `steps` optimization steps inside ONE
@@ -193,9 +222,9 @@ def make_fused_synth_step(sc, cfg: NetConfig, dc):
         # tail with step N+1's synthesis.  Key stream identical to the
         # single-step path (fold_in(ekey, step_idx + s)).
         def body(st, s):
-            batch = synth_batch_step.__wrapped__(
+            batch = constrain(synth_batch_step.__wrapped__(
                 ekey, sc, cfg, dc, True, step_idx + s
-            )
+            ))
             return train_step.__wrapped__(st, batch, cfg, cls_schedule)
 
         state, ms = jax.lax.scan(body, state, jnp.arange(steps))
@@ -374,10 +403,14 @@ class Trainer:
 
         fuse = self.mesh is None and not self.debug_checks
         sched = self._cls_sched()
-        if fuse and isinstance(train_batches, DeviceSyntheticBatches):
+        # synthesis shards over the data mesh (GSPMD partitions the
+        # batch-parallel generation), so fusion works under DP too
+        fuse_synth = not self.debug_checks
+        if fuse_synth and isinstance(train_batches, DeviceSyntheticBatches):
             if getattr(self, "_fused_synth", None) is None:
                 self._fused_synth = make_fused_synth_step(
-                    train_batches.sc, self.cfg, train_batches.data_cfg
+                    train_batches.sc, self.cfg, train_batches.data_cfg,
+                    mesh=self.mesh,
                 )
             ek = jax.random.fold_in(
                 jax.random.PRNGKey(train_batches.seed), epoch
