@@ -115,8 +115,10 @@ def _train_epoch_stages(args, cfg, dc, batches, B, S, n_samples):
         # derives the GT bound); mirror it so the stage matches the epoch
         import dataclasses as _dc
 
+        # mirrors synth_batch_step's derivation (incl. the +6 grid-rounding
+        # margin, ADVICE r4)
         win_in = min(128, S, S)
-        wn = (win_in - 4) // cfg.scale + 4
+        wn = (win_in - 4) // cfg.scale + 6
         dc_w = _dc.replace(
             dc,
             raster_window=min(-(-wn // 8) * 8, S // cfg.scale),

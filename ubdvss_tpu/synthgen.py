@@ -563,6 +563,12 @@ def generate_scene(
             oo["grp"] == _G1D, d1,
             jnp.where(oo["grp"] == _GPOSTAL, dp, d2),
         )
+        # INVARIANT: every _texel_* returns BINARY {0,1} values, so vals
+        # is {0,255} — exactly bf16-representable, which is what makes the
+        # default-precision one-hot placement einsums below bit-exact.  A
+        # texel emitting intermediate grays must either stay on a
+        # bf16-exact lattice or the einsums must move to Precision.HIGHEST
+        # (ADVICE r4).
         return 255.0 * (1.0 - dark), inside
 
     vals, insides = jax.vmap(render)(o, x0.astype(jnp.float32),
@@ -627,9 +633,13 @@ def synth_batch_step(
     if data_cfg.raster_window is None:
         # synthesized objects are size-capped (render-window shrink, incl.
         # the post-affine cap) — derive the GT bound and rasterize
-        # object-windowed (~10× cheaper than the dense pixel×poly pass)
+        # object-windowed (~10× cheaper than the dense pixel×poly pass).
+        # +6 (not +4): finalize_batch rounds polys to the grid, growing a
+        # grid AABB by up to 1px per side; the explicit margin keeps the
+        # bound valid even when the pre-roundup value is already a
+        # multiple of 8 and the roundup adds no slack (ADVICE r4).
         win_in = min(128, sc.hw[0], sc.hw[1])
-        wn = (win_in - 4) // net_cfg.scale + 4
+        wn = (win_in - 4) // net_cfg.scale + 6
         wn = min(-(-wn // 8) * 8,
                  sc.hw[0] // net_cfg.scale, sc.hw[1] // net_cfg.scale)
         data_cfg = dataclasses.replace(data_cfg, raster_window=wn)
