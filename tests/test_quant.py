@@ -206,3 +206,65 @@ def test_int8_detections_match_f32():
     np.testing.assert_allclose(
         np.asarray(rq["boxes"])[v], np.asarray(rf["boxes"])[v], atol=1.5
     )
+
+
+def test_bias_correction_reduces_logits_error():
+    """bias_correct_qparams (PTQ bias correction, VERDICT r4 item 4) must
+    shrink the quantized trunk's mean logits error vs the f32 reference —
+    on both architectures."""
+    from ubdvss_tpu.ops.quant import bias_correct_qparams
+
+    for cfg in (_cfg(), NetConfig(separable_context=False, max_components=8)):
+        params = init_params(cfg, 1)
+        _, calib = _images(n=8, hw=(128, 128), seed=21)
+        _, norm = _images(n=4, hw=(128, 128), seed=22)
+        q0 = quantize_trunk(params, cfg, calib, bias_correct=False)
+        q1 = quantize_trunk(params, cfg, calib, bias_correct=True)
+        _, fl = trunk_intermediates(params, norm, cfg)
+        e0 = float(jnp.mean(jnp.abs(int8_trunk_apply(q0, norm, cfg) - fl)))
+        e1 = float(jnp.mean(jnp.abs(int8_trunk_apply(q1, norm, cfg) - fl)))
+        assert e1 <= e0, (e1, e0)
+        # only biases differ: kernels and requant scales are untouched, so
+        # the packed serving trunks remain bit-exact vs the direct path
+        np.testing.assert_array_equal(
+            np.asarray(q0["layers"][0]["q"]), np.asarray(q1["layers"][0]["q"])
+        )
+
+
+@pytest.mark.slow  # ~4 min on the 1-core host (48-scene 256px int8 eval)
+def test_int8_bias_corrected_f1_parity_separable():
+    """The r4 serving-accuracy protocol (48 synthetic scenes @256px,
+    calib = first 32 eval-pipeline images) measured the separable asset's
+    PTQ gap at F1 0.966->0.940; bias correction closes it completely
+    (measured r5: 0.9661 int8 == 0.9661 f32, tp 114 vs uncorrected 110).
+    This gate runs the identical protocol's int8 arm and holds the
+    RECOVERED bar — it fails on a bias-correction regression (the
+    uncorrected trunk scores 0.940).  The effect is protocol-sensitive
+    (other seeds show +-0.5pt noise, BASELINE.md r5); this is the
+    documented row."""
+    import dataclasses
+    import os
+
+    from ubdvss_tpu.data import Batches, DataConfig
+    from ubdvss_tpu.evaluate import run_evaluation
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.utils.checkpoint import load_net_config, load_params_npz
+
+    asset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "pretrained_synthetic.npz",
+    )
+    cfg = load_net_config(asset)
+    params = load_params_npz(asset, init_params(cfg, 0))
+    reader = SyntheticMarkupReader(n_samples=48, image_hw=(256, 256))
+    dc = DataConfig(batch_size=8, train_hw=(256, 256), max_polys=32)
+    cal = []
+    for batch in Batches(reader, cfg, dataclasses.replace(
+        dc, shuffle=False, augment=None, drop_remainder=False
+    ), train=False).epoch(0):
+        cal.append(np.asarray(batch["images"]))
+        if sum(c.shape[0] for c in cal) >= 32:
+            break
+    q = quantize_trunk(params, cfg, jnp.asarray(np.concatenate(cal)[:32]))
+    rq = run_evaluation(params, reader, cfg, dc, qparams=q)
+    assert rq.f1 >= 0.96, rq.f1  # f32 == 0.9661 on this exact protocol
