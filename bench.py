@@ -604,13 +604,16 @@ def main():
             trunk = lambda s: fused_model_apply(params, s, cfg, raw_gray=True)
             if ts:
                 from ubdvss_tpu.ops.pallas.context_kernel import (
-                    packed_fused_trunk,
                     packed_trunk_selected,
                 )
 
                 if packed_trunk_selected(cfg, (S, S)):
+                    from ubdvss_tpu.ops.strips import packed_fused_trunk_tiled
+
                     # sum of packed logits == sum of logits (rearrangement)
-                    logits = packed_fused_trunk(params, x, cfg, raw_gray=True)
+                    logits = packed_fused_trunk_tiled(
+                        params, x, cfg, raw_gray=True
+                    )
                 else:
                     sg, cg = auto_two_stage_grids(S, S, cfg.scale, cfg.dilations)
                     logits = two_stage_tiled_trunk(

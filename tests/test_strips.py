@@ -122,3 +122,61 @@ def test_detect_preprocessed_batch_strips_match():
         np.testing.assert_allclose(np.asarray(log2), np.asarray(log1), atol=1e-5)
         for k in res1:
             np.testing.assert_array_equal(np.asarray(res1[k]), np.asarray(res2[k]))
+
+
+def test_packed_trunk_tile_grid_selection():
+    """Trunk-level tiling engages only at >=4096px per axis; halo stays
+    a multiple of 8 (s2d/scale alignment)."""
+    from ubdvss_tpu.ops.strips import packed_trunk_tile_grid
+
+    cfg = NetConfig()
+    halo, grid = packed_trunk_tile_grid(2048, 2048, cfg)
+    assert grid == (1, 1)
+    assert halo % 8 == 0
+    halo, grid = packed_trunk_tile_grid(4096, 4096, cfg)
+    assert grid[0] > 1 and grid[1] > 1
+    # elongated: only the long axis tiles
+    _, grid = packed_trunk_tile_grid(4096, 2048, cfg)
+    assert grid[0] > 1 and grid[1] == 1
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_packed_trunks_tiled_exact_tpu():
+    """Trunk-level tiled packed trunks (bf16 + int8) reproduce the
+    untiled packed trunks exactly at a forced (2, 2) grid on 1024^2
+    input — the receptive-field-halo exactness argument, checked on the
+    real lowering (the tiling exists to dodge XLA's >=4096px space-to-
+    batch relayouts; see strips.packed_trunk_tile_grid)."""
+    import jax.numpy as jnp
+
+    from ubdvss_tpu.ops.pallas.context_kernel import packed_fused_trunk
+    from ubdvss_tpu.ops.quant import (
+        int8_packed_trunk_apply,
+        int8_packed_trunk_tiled,
+        quantize_trunk,
+    )
+    from ubdvss_tpu.ops.strips import packed_fused_trunk_tiled
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+
+    cfg = NetConfig(dtype="bfloat16")
+    params = init_params(cfg, 0)
+    reader = SyntheticMarkupReader(n_samples=1, image_hw=(1024, 1024), seed=3)
+    x = jnp.asarray(np.asarray(reader.sample_at(0).image, np.float32))[None]
+
+    a = packed_fused_trunk(params, x[..., None], cfg, raw_gray=True,
+                           act_out=True)
+    b = packed_fused_trunk_tiled(params, x[..., None], cfg, raw_gray=True,
+                                 grid=(2, 2))
+    # bf16: tile-vs-whole conv reduction order differs at the last ulp
+    # (measured max abs 6e-5, scattered, not at seams); int8 below is
+    # exact-integer and therefore bit-identical
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-3
+    )
+
+    cfg32 = NetConfig()
+    q = quantize_trunk(init_params(cfg32, 0), cfg32, x[..., None] / 127.5 - 1)
+    qa = int8_packed_trunk_apply(q, x, cfg32, raw_gray=True)
+    qb = int8_packed_trunk_tiled(q, x, cfg32, raw_gray=True, grid=(2, 2))
+    np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))

@@ -292,10 +292,15 @@ def _detect_program_batch_int8(
     both architectures), so packing applies to either."""
     from ubdvss_tpu.ops.postproc import postprocess_batch, postprocess_batch_fused
     from ubdvss_tpu.ops.preproc import normalize, resize_bilinear, rgb_to_grayscale
-    from ubdvss_tpu.ops.quant import int8_packed_trunk_apply, int8_trunk_apply
+    from ubdvss_tpu.ops.quant import (
+        int8_packed_trunk_tiled,
+        int8_trunk_apply,
+    )
 
     # packed logits feed only the fused postprocessing; the ``fused=False``
-    # fallback (non-TPU backends) keeps the direct trunk + XLA postproc
+    # fallback (non-TPU backends) keeps the direct trunk + XLA postproc.
+    # The packed trunk self-tiles at >=4096px (int8_packed_trunk_tiled —
+    # identity below; bit-exact trunk-level tiling above, measured 2x).
     packed = fused and (
         cfg.scale == 4
         and out_hw[0] % 8 == 0
@@ -303,7 +308,7 @@ def _detect_program_batch_int8(
         and all(d == 1 or d % 2 == 0 for d in cfg.dilations)
         and (out_hw[0] // 4) * (out_hw[1] // 4) >= 256 * 256
     )
-    trunk = int8_packed_trunk_apply if packed else int8_trunk_apply
+    trunk = int8_packed_trunk_tiled if packed else int8_trunk_apply
     x = imgs.astype(jnp.float32)
     if x.ndim == 4:
         x = rgb_to_grayscale(x, channel_order) if x.shape[-1] == 3 else x[..., 0]
@@ -391,13 +396,16 @@ def _detect_program_batch(
             trunk = lambda s: get_model(cfg).apply({"params": params}, s)
         if two_stage:
             from ubdvss_tpu.ops.pallas.context_kernel import (
-                packed_fused_trunk,
                 packed_trunk_selected,
             )
 
             if packed_trunk_selected(cfg, (x.shape[1], x.shape[2])):
-                packed = packed_fused_trunk(
-                    params, x[..., None], cfg, raw_gray=raw, act_out=True
+                from ubdvss_tpu.ops.strips import packed_fused_trunk_tiled
+
+                # self-tiles at >=4096px (trunk-level image tiling, see
+                # strips.packed_trunk_tile_grid); identity below
+                packed = packed_fused_trunk_tiled(
+                    params, x[..., None], cfg, raw_gray=raw
                 )
                 pp = (2, 2)
             else:
@@ -504,12 +512,13 @@ def _detect_preprocessed_batch(
         trunk = lambda s: get_model(cfg).apply({"params": params}, s)
     if two_stage:
         from ubdvss_tpu.ops.pallas.context_kernel import (
-            packed_fused_trunk,
             packed_trunk_selected,
         )
 
         if packed_trunk_selected(cfg, (x.shape[1], x.shape[2])):
-            packed = packed_fused_trunk(params, x, cfg, act_out=True)
+            from ubdvss_tpu.ops.strips import packed_fused_trunk_tiled
+
+            packed = packed_fused_trunk_tiled(params, x, cfg)
             pp = (2, 2)
         else:
             from ubdvss_tpu.ops.strips import (

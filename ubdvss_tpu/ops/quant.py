@@ -384,11 +384,6 @@ def int8_packed_trunk_apply(
     for i in range(2):
         layer, s_out, _ = _packed_layer(L[i], _pack_stride2_kernel, s[i + 1])
         qx = _qconv(qx, layer, s_out, (2, 2), (1, 1), padding=pad)
-    for li, d in enumerate(cfg.dilations):
-        layer, s_out, dp = _packed_layer(
-            L[2 + li], lambda k, d=d: _pack_s2d_kernel(k, d), s[3 + li]
-        )
-        qx = _qconv(qx, layer, s_out, (1, 1), (dp, dp))
     # 1x1 head: block-diagonal over phases (each phase maps C -> O)
     hq = qparams["head"]["q"]  # (1, 1, C, O) int8
     C, O = hq.shape[2], hq.shape[3]
@@ -400,5 +395,31 @@ def int8_packed_trunk_apply(
         ws=jnp.tile(qparams["head"]["ws"], 4),
         b=jnp.tile(qparams["head"]["b"], 4),
     )
+
+    for li, d in enumerate(cfg.dilations):
+        layer, s_out, dp = _packed_layer(
+            L[2 + li], lambda k, d=d: _pack_s2d_kernel(k, d), s[3 + li]
+        )
+        qx = _qconv(qx, layer, s_out, (1, 1), (dp, dp))
     out = _qconv(qx, head, None, (1, 1), (1, 1))
     return _d2s(out, O) if unpack else out
+
+
+def int8_packed_trunk_tiled(
+    qparams, x, cfg, raw_gray: bool = False,
+    grid: tuple[int, int] | None = None,
+):
+    """``int8_packed_trunk_apply`` with trunk-level 2-D image tiling for
+    >=4096px scans (see ``strips.packed_trunk_tile_grid`` for the
+    profiled motivation); bit-exact: SAME zero padding at tile borders is
+    replaced by real halo rows and core outputs depend only on the
+    receptive field (tests/test_quant.py).  Identity below 4096px.
+    Returns phase-major packed logits like the untiled trunk."""
+    from ubdvss_tpu.ops.strips import packed_trunk_tile_grid, tile_2d_logits
+
+    H, W = x.shape[1], x.shape[2]
+    halo, auto = packed_trunk_tile_grid(H, W, cfg)
+    if grid is None:
+        grid = auto
+    fn = lambda t: int8_packed_trunk_apply(qparams, t, cfg, raw_gray=raw_gray)
+    return tile_2d_logits(fn, x, 8, halo, grid)

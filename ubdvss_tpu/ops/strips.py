@@ -189,6 +189,51 @@ def two_stage_tiled_trunk(
     return (logits, None) if return_packed else logits
 
 
+def packed_trunk_tile_grid(
+    H: int, W: int, cfg, target_core: int = 1024
+) -> tuple[int, tuple[int, int]]:
+    """(halo, (ny, nx)) for trunk-level tiling of the s=2-packed trunks
+    (bf16 ``packed_fused_trunk_tiled`` / int8
+    ``quant.int8_packed_trunk_tiled``).
+
+    Profiled (v5e, 4096² scans, B=4 int8): XLA SPACE-TO-BATCHES every
+    conv of the whole-image packed trunk at this size — the input s2d
+    alone materializes 42 ms of relayout (a 31.9 ms reshape + 10.1 ms
+    copy feeding the stem's internally tiled layout) and each context
+    conv pays a 100-400 MB layout copy; trunk device time 64 ms/batch.
+    Tiling the WHOLE trunk at the image level into ~1024px cores (the
+    2048²-scan regime, measured fast untiled) with one receptive-field
+    halo halves it to 32 ms/batch, bit-exact.  Axes below 4096px stay
+    untiled — at ≤2048px the untiled trunk is already in the good regime
+    and the halo redundancy (~1.3×/axis) would be a pure loss."""
+    from ubdvss_tpu.parallel.tiling import receptive_field_halo
+
+    halo = receptive_field_halo(cfg)
+    halo += (-halo) % 8  # tile windows must stay s2d/scale aligned
+    ny = auto_n_strips(H, 8, halo, target_core) if H >= 4096 else 1
+    nx = auto_n_strips(W, 8, halo, target_core) if W >= 4096 else 1
+    return halo, (ny, nx)
+
+
+def packed_fused_trunk_tiled(
+    params, x4, cfg, raw_gray: bool = False,
+    grid: tuple[int, int] | None = None,
+):
+    """bf16/f32 ``context_kernel.packed_fused_trunk`` with the same
+    trunk-level >=4096px tiling as the int8 route (identity below);
+    output logits equal the untiled trunk (tests/test_strips.py)."""
+    from ubdvss_tpu.ops.pallas.context_kernel import packed_fused_trunk
+
+    H, W = x4.shape[1], x4.shape[2]
+    halo, auto = packed_trunk_tile_grid(H, W, cfg)
+    if grid is None:
+        grid = auto
+    fn = lambda t: packed_fused_trunk(
+        params, t, cfg, raw_gray=raw_gray, act_out=True
+    )
+    return tile_2d_logits(fn, x4, 8, halo, grid)
+
+
 def auto_n_strips(H: int, scale: int, halo: int, target_core: int = 512) -> int:
     """Largest strip count with ~``target_core``-row cores that still
     divides H on the downscale grid and keeps windows inside the image;
