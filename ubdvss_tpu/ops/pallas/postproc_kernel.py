@@ -118,7 +118,10 @@ def _stack_group(det_logits: jax.Array, budget: int = 1_100_000):
     """
     B, H, W = det_logits.shape
     gap = 8 - (H % 8) if H % 8 else 8
-    for G in (16, 8, 4, 2, 1):
+    # G up to 64: measured r5 (512², B=512, K=16) — G=32 vs the old G=16
+    # cap saves ~5 ms/batch of postprocessing (fewer sequential grid
+    # programs; the budget still bounds the stacked working set)
+    for G in (64, 32, 16, 8, 4, 2, 1):
         if B % G == 0 and G * (H + gap) * W <= budget:
             return G, gap
     return 1, gap
