@@ -128,3 +128,13 @@ def test_packed_trunk_detections_match_tpu():
     np.testing.assert_array_equal(res_a["classes"], res_b["classes"])
     np.testing.assert_allclose(res_a["boxes"], res_b["boxes"], atol=1e-2)
     np.testing.assert_allclose(res_a["scores"], res_b["scores"], atol=1e-4)
+
+
+def test_fused_heatmap_limit_by_architecture():
+    """Dense-context configs keep the r3-validated 512^2 fused-heatmap
+    cutoff (the 1024^2 extension is validated only on the separable
+    two-stage packed route — ADVICE r4 medium)."""
+    from ubdvss_tpu.inference import _fused_heatmap_limit
+
+    assert _fused_heatmap_limit(NetConfig()) == 1024
+    assert _fused_heatmap_limit(NetConfig(separable_context=False)) == 512

@@ -189,23 +189,45 @@ def test_int8_detections_match_f32():
     _, norm = _images(n=4, hw=(128, 128), seed=11)
     # calibration pool: disjoint seeds from the eval images (realistic PTQ)
     _, calib = _images(n=32, hw=(128, 128), seed=77)
-    q = quantize_trunk(params, cfg, calib)
-    ql = int8_trunk_apply(q, norm, cfg)
     _, fl = trunk_intermediates(params, norm, cfg)
+    rf = jax.device_get(postprocess_batch_fused(fl, cfg, interpret=True))
+    v = np.asarray(rf["valid"])
+
+    # strict rounding-equivalence gate on the UNCORRECTED trunk (pure
+    # quantization noise, no calibration-statistics dependence) ...
+    q0 = quantize_trunk(params, cfg, calib, bias_correct=False)
+    ql = int8_trunk_apply(q0, norm, cfg)
     # logits agree to quantization noise (measured rounding floor ~1.2 max
     # over a 10-layer requant chain; mean ~0.15)
     assert float(jnp.max(jnp.abs(ql - fl))) < 2.0
     assert float(jnp.mean(jnp.abs(ql - fl))) < 0.3
     rq = jax.device_get(postprocess_batch_fused(ql, cfg, interpret=True))
-    rf = jax.device_get(postprocess_batch_fused(fl, cfg, interpret=True))
     np.testing.assert_array_equal(rq["valid"], rf["valid"])
     np.testing.assert_array_equal(rq["classes"], rf["classes"])
     np.testing.assert_array_equal(rq["num_detections"], rf["num_detections"])
     # boxes within a pixel (borderline threshold pixels may flip)
-    v = np.asarray(rf["valid"])
     np.testing.assert_allclose(
         np.asarray(rq["boxes"])[v], np.asarray(rf["boxes"])[v], atol=1.5
     )
+
+    # ... and the SHIPPING default (bias-corrected): same detections and
+    # boxes; class votes may flip only where the f32 vote was a near-tie
+    # (the corrected biases shift mean class probabilities slightly —
+    # accuracy effect measured in BASELINE.md r5)
+    q1 = quantize_trunk(params, cfg, calib)
+    ql1 = int8_trunk_apply(q1, norm, cfg)
+    assert float(jnp.max(jnp.abs(ql1 - fl))) < 2.0
+    rq1 = jax.device_get(postprocess_batch_fused(ql1, cfg, interpret=True))
+    np.testing.assert_array_equal(rq1["valid"], rf["valid"])
+    np.testing.assert_array_equal(rq1["num_detections"], rf["num_detections"])
+    np.testing.assert_allclose(
+        np.asarray(rq1["boxes"])[v], np.asarray(rf["boxes"])[v], atol=1.5
+    )
+    cp = np.asarray(rf["class_probs"])
+    top2 = np.sort(cp, axis=-1)
+    margin = top2[..., -1] - top2[..., -2]
+    flipped = (np.asarray(rq1["classes"]) != np.asarray(rf["classes"])) & v
+    assert np.all(margin[flipped] < 0.05), margin[flipped]
 
 
 def test_bias_correction_reduces_logits_error():

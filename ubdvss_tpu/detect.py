@@ -74,6 +74,7 @@ def main(argv=None):
         from ubdvss_tpu.ops.quant import build_qparams, calibrate_scales
 
         scales = None
+        pool = []  # common-crop pool for bias correction
         for path in paths[:16]:
             img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
             if img is None:
@@ -87,8 +88,20 @@ def main(argv=None):
             scales = s if scales is None else [
                 jnp.minimum(a, b) for a, b in zip(scales, s)
             ]
+            pool.append(x)
         if scales is not None:
             qparams = build_qparams(params, cfg, scales)
+            # bias correction (quantize_trunk's default, BASELINE.md r5)
+            # over a common top-left crop of the calibration images —
+            # mean-error statistics are translation-invariant conv
+            # outputs, so the crop only perturbs border pixels
+            hc = min(min(p.shape[0] for p in pool), 512) // 8 * 8
+            wc = min(min(p.shape[1] for p in pool), 512) // 8 * 8
+            if hc >= 32 and wc >= 32:
+                from ubdvss_tpu.ops.quant import bias_correct_qparams
+
+                calib = jnp.stack([p[:hc, :wc] for p in pool])
+                qparams = bias_correct_qparams(qparams, params, cfg, calib)
     det = BarcodeDetector(cfg, params, qparams=qparams)
 
     report = {}

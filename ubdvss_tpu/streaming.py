@@ -36,6 +36,7 @@ class StreamingDetector:
         frame_hw: tuple[int, int],
         batch_size: int = 8,
         qparams=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -43,12 +44,22 @@ class StreamingDetector:
         self.batch_size = batch_size
         self.out_hw = cfg.grid_size(*frame_hw)
         self.qparams = qparams  # ops/quant: int8 serving mode
+        # data mesh -> each batch is sharded across chips with per-chip
+        # fused pipelines (detect_program_batch(mesh=), r5): streaming a
+        # camera bank over a fleet from one feed loop
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by the "
+                f"{mesh.devices.size}-device data mesh"
+            )
 
     def _launch(self, batch_np: np.ndarray):
         imgs = jax.device_put(batch_np)  # async H2D
         res, _ = detect_program_batch(
             self.params, imgs, self.cfg, self.out_hw, qparams=self.qparams,
             detections_only=True,  # logits output never read on this path
+            mesh=self.mesh,
         )  # async dispatch
         return res
 
