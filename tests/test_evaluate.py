@@ -181,3 +181,36 @@ def test_native_eval_remainder_padding_one_program_per_grid():
     assert (res4.tp, res4.fp, res4.fn, res4.n_gt, res4.n_pred) == (
         res1.tp, res1.fp, res1.fn, res1.n_gt, res1.n_pred
     )
+
+
+def test_dp_evaluation_matches_single_device():
+    """run_evaluation(mesh=): batches shard over the data mesh with
+    per-chip fused pipelines; the report equals the single-device one
+    (r5 DP evaluation; remainder batches zero-padded, pads dropped)."""
+    import os
+
+    import jax
+
+    from ubdvss_tpu import NetConfig
+    from ubdvss_tpu.data import DataConfig
+    from ubdvss_tpu.evaluate import run_evaluation
+    from ubdvss_tpu.models.model import init_params
+    from ubdvss_tpu.parallel.mesh import make_mesh
+    from ubdvss_tpu.synthetic import SyntheticMarkupReader
+    from ubdvss_tpu.utils.checkpoint import load_params_npz
+
+    cfg = NetConfig(max_components=8)
+    params = load_params_npz(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets", "pretrained_synthetic.npz"),
+        init_params(cfg, 0),
+    )
+    # 10 samples at batch 4: exercises the padded remainder batch
+    reader = SyntheticMarkupReader(n_samples=10, image_hw=(128, 128), seed=2)
+    dc = DataConfig(batch_size=4, train_hw=(128, 128), max_polys=8)
+    r1 = run_evaluation(params, reader, cfg, dc)
+    mesh = make_mesh(4, axis="data", devices=jax.devices("cpu"))
+    r4 = run_evaluation(params, reader, cfg, dc, mesh=mesh)
+    assert (r1.tp, r1.fp, r1.fn, r1.n_pred) == (r4.tp, r4.fp, r4.fn, r4.n_pred)
+    assert abs(r1.f1 - r4.f1) < 1e-9
+    assert r1.n_gt == r4.n_gt

@@ -306,6 +306,7 @@ def run_evaluation(
     native: bool = False,
     qparams=None,
     prefetch_depth: int = 2,
+    mesh=None,
 ) -> EvalResult:
     """Batched device inference over a markup dataset -> EvalResult.
 
@@ -323,6 +324,11 @@ def run_evaluation(
     N+1 has been DISPATCHED — the same one-deep pipelining training got
     in r4 (utils/prefetch.py), applied to both resolution modes.
     Measured: BASELINE.md r5 eval row.
+
+    ``mesh``: DP evaluation — each batch is sharded over the data mesh
+    with per-chip fused pipelines (``detect_preprocessed_batch(mesh=)``);
+    remainder batches are zero-padded to ``batch_size`` (pad rows never
+    enter the match records).  ``batch_size`` must divide the mesh.
     """
     dc = data_cfg or DataConfig(batch_size=8, max_polys=32)
     dc = dataclasses.replace(dc, shuffle=False, augment=None, drop_remainder=False)
@@ -353,7 +359,8 @@ def run_evaluation(
                 ]
             xs = jnp.stack([it[0] for it in items])  # (b, H, W) f32 [0,255]
             res, _ = detect_preprocessed_batch(
-                params, normalize(xs)[..., None], cfg, qparams=qparams
+                params, normalize(xs)[..., None], cfg, qparams=qparams,
+                mesh=mesh,
             )
             # defer the blocking readback until the NEXT bucket's program
             # has been dispatched (async dispatch overlaps it)
@@ -385,13 +392,23 @@ def run_evaluation(
         if prefetch_depth > 0:
             it = prefetched(it, depth=prefetch_depth)
         for batch in it:
+            imgs = batch["images"]
+            n_real = imgs.shape[0]
+            if mesh is not None and n_real < dc.batch_size:
+                # pad the remainder batch so the static per-chip shard
+                # shapes hold; pad rows are dropped via n_real below
+                pad = dc.batch_size - n_real
+                imgs = jnp.concatenate(
+                    [imgs, jnp.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+                )
             # the pipeline's normalized images feed the model directly
             res, _ = detect_preprocessed_batch(
-                params, batch["images"], cfg, qparams=qparams
+                params, imgs, cfg, qparams=qparams, mesh=mesh
             )
             collect_pending()
             pending.append(
-                (res, batch["polys"], batch["n_verts"], batch["class_ids"])
+                (res, batch["polys"], batch["n_verts"], batch["class_ids"],
+                 n_real)
             )
         collect_pending()
     return evaluate_detections(per_image, iou_threshold, class_names=class_names)
@@ -420,6 +437,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--int8-calib", type=int, default=32)
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="feed/compute overlap depth (0 = synchronous feed)")
+    p.add_argument("--num-devices", default=None,
+                   help="data-parallel evaluation over N devices ('auto' "
+                        "= all): batches shard over a Mesh('data') with "
+                        "per-chip fused pipelines")
+    p.add_argument("--allow-cpu-mesh", action="store_true",
+                   help="permit --num-devices to fall back to virtual "
+                        "host CPU devices (tests/dry runs)")
     return p
 
 
@@ -479,9 +503,21 @@ def main(argv: list[str] | None = None) -> EvalResult:
         qparams = quantize_trunk(
             params, cfg, jnp.asarray(np.concatenate(cal)[: args.int8_calib])
         )
+    mesh = None
+    if args.num_devices is not None:
+        from ubdvss_tpu.train import setup_devices
+
+        mesh = setup_devices(
+            args.num_devices, allow_cpu_mesh=args.allow_cpu_mesh
+        )
+        if args.batch_size % mesh.devices.size:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} not divisible by the "
+                f"{mesh.devices.size}-device mesh"
+            )
     result = run_evaluation(
         params, reader, cfg, dc, args.iou_threshold, native=args.eval_native,
-        qparams=qparams, prefetch_depth=args.prefetch_depth,
+        qparams=qparams, prefetch_depth=args.prefetch_depth, mesh=mesh,
     )
     print(result.to_json())
     if args.report:

@@ -463,6 +463,7 @@ def detect_preprocessed_batch(
     fused: bool | None = None,
     n_strips: int | None = None,
     qparams=None,
+    mesh=None,
 ):
     """Detection over ALREADY-preprocessed images (the data pipeline's
     ``images`` contract: (B, H, W, 1) f32 normalized [-1, 1]).
@@ -470,10 +471,16 @@ def detect_preprocessed_batch(
     Used by evaluation so batches flow straight from the shared input
     pipeline into the model without a second resize/normalize round-trip
     (VERDICT r1 weak #5).  Same fused/XLA selection as
-    ``detect_program_batch``; ``qparams`` swaps in the int8 trunk.
-    """
+    ``detect_program_batch``; ``qparams`` swaps in the int8 trunk;
+    ``mesh`` shards the batch over a data mesh with per-chip fused
+    pipelines (the same shard_map DP serving core as
+    ``detect_program_batch(mesh=)`` — DP evaluation)."""
     if fused is None:
         fused = _default_device_is_tpu()
+    if mesh is not None:
+        return _detect_preprocessed_dp(
+            params, x, cfg, fused, n_strips, qparams, mesh
+        )
     if qparams is not None:
         return _detect_preprocessed_int8(qparams, x, cfg, fused)
     if max(x.shape[1], x.shape[2]) // cfg.scale > _fused_heatmap_limit(cfg):
@@ -483,6 +490,68 @@ def detect_preprocessed_batch(
         params, x, cfg, fused, _auto_strips(cfg, hw, n_strips),
         _auto_two_stage(cfg, hw, n_strips, fused),
     )
+
+
+def _detect_preprocessed_dp(
+    params, x, cfg: NetConfig, fused: bool, n_strips, qparams, mesh
+):
+    """Data-parallel ``detect_preprocessed_batch`` core (see the
+    shard_map rationale at ``_detect_program_batch_dp``)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if x.shape[0] % n:
+        raise ValueError(
+            f"batch {x.shape[0]} not divisible by the {n}-device data mesh"
+        )
+    x = jax.device_put(
+        x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    )
+    weights = jax.device_put(
+        qparams if qparams is not None else params,
+        NamedSharding(mesh, P()),
+    )
+    hw = (x.shape[1], x.shape[2])
+    if max(hw) // cfg.scale > _fused_heatmap_limit(cfg):
+        fused = False
+    return _detect_preprocessed_dp_jit(
+        weights, x, cfg, fused, _auto_strips(cfg, hw, n_strips),
+        _auto_two_stage(cfg, hw, n_strips, fused),
+        qparams is not None, mesh, axis,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "fused", "n_strips", "two_stage", "quant", "mesh", "axis",
+    ),
+)
+def _detect_preprocessed_dp_jit(
+    weights, x, cfg, fused, n_strips, two_stage, quant, mesh, axis
+):
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def per_chip(w, xs):
+        if quant:
+            return _detect_preprocessed_int8.__wrapped__(w, xs, cfg, fused)
+        return _detect_preprocessed_batch.__wrapped__(
+            w, xs, cfg, fused, n_strips, two_stage
+        )
+
+    return shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(), P(axis, *([None] * (x.ndim - 1)))),
+        out_specs=P(axis),
+        check_vma=False,
+    )(weights, x)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fused"))
