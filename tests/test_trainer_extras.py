@@ -1,6 +1,9 @@
 """Trainer auxiliary subsystems: schedules, best-checkpoint, checkify,
 visualization (SURVEY.md §5)."""
 
+import os
+from pathlib import Path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -216,11 +219,46 @@ def test_cls_weight_schedule():
     ) < 1e-6
 
 
-@pytest.mark.slow  # 38 s; checkify+GSPMD composition, release-gate tier
+@pytest.mark.slow  # ~60 s; checkify+GSPMD composition, release-gate tier
 def test_checked_train_step_under_mesh():
     """checkify + GSPMD data parallelism compose (VERDICT r2 weak #7):
     the debug-guarded step must run under a sharded mesh and match the
-    single-device loss; a poisoned batch must still throw."""
+    single-device loss; a poisoned batch must still throw.
+
+    Runs in a FRESH SUBPROCESS: compiling this checkify+GSPMD program
+    late in a long-lived pytest process segfaults XLA:CPU's
+    backend_compile (reproduced 3x at ~200 compiled executables into the
+    full -m "" suite, 2026-08-21; passes standalone and in every module
+    subset).  Process isolation sidesteps the upstream crash without
+    weakening the check."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from test_trainer_extras import checked_under_mesh_body; "
+         "checked_under_mesh_body()" % str(Path(__file__).parent)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ,
+             "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8"
+                           ).strip()},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
+def checked_under_mesh_body():
+    """Body of test_checked_train_step_under_mesh (subprocess target)."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        _checked_under_mesh_impl()
+
+
+def _checked_under_mesh_impl():
+    import pytest
+
     from ubdvss_tpu.parallel.mesh import (
         make_mesh,
         replicate_to_mesh,
