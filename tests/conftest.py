@@ -62,3 +62,17 @@ def _default_to_cpu(request):
         return
     with jax.default_device(jax.devices("cpu")[0]):
         yield
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap the process's mmap count: XLA:CPU JIT code mappings accumulate
+    ~1-2k /proc/<pid>/maps entries per test module, and once the process
+    nears vm.max_map_count (65530 here) XLA's backend_compile SEGFAULTS
+    on the next compile (reproduced 4x near the end of full ``-m ""``
+    runs, 2026-08-21 — the crash follows the map count, not any specific
+    test).  Dropping compiled executables at module teardown reclaims the
+    mappings (measured 2687 -> 803) at the cost of cross-module
+    recompiles of shared programs."""
+    yield
+    jax.clear_caches()
