@@ -149,6 +149,20 @@ def _slots_kernel(
     its (K, H) 2-D ops never meet the roll ops of the propagation rounds
     (Mosaic's layout solver rejects new multi-dim broadcasts connected to
     roll operands — see ops/rect.py notes).
+
+    Measured r5 (do NOT redo): this phase is COMPUTE-bound, not
+    grid-overhead-bound — G-stacking it like the CCL phase does not help.
+    Three grouped rewrites were benchmarked at B=512/512²/K=16 against
+    this kernel's 8.0 ms for the whole geometry phase (scalar-chained):
+    (a) whole-stack (Hs, W) K-round loop with (G,·) per-band reductions:
+    23 ms — 1-D lane<->sublane relayouts every round; (b) same with the
+    per-band min as a sublane shift-doubling segmented min on (Hs, 1)
+    columns: 23 ms — ~16 shift-ops/round on single-lane 1088-tile
+    arrays; (c) the per-image algorithm unrolled over G bands in one
+    program (static sublane slices, fused root+slot loop): 8.0 ms —
+    exactly this kernel's number, proving per-program grid overhead is
+    negligible and the K-round fori is already near the VPU floor
+    (K=1 -> 4.7 ms, K=16 -> 8.1 ms: 0.23 ms/round ≈ theoretical).
     """
     det_logit = det_ref[0][:H]  # (H, W) — drop the group-stacking gap rows
     W = det_logit.shape[1]
