@@ -14,6 +14,14 @@ Labels are "raw": each foreground pixel holds the minimum linear index of
 its component; background holds H*W.  Downstream compaction is gather-free
 (sort-based, ops/postproc.py) because XLA lowers large gathers
 catastrophically on TPU.
+
+Measured r5: capping the run-min doubling reach at ~32 px/round (still an
+exact fixpoint — propagation just takes more rounds for longer runs) made
+the geometry phase only 6% faster on sparse 512² scenes (7.86 -> 7.39
+ms/batch at B=512, scripts/micro_geometry.py), ~1% end-to-end — and
+risks MULTIPLYING round counts on large scans whose component runs exceed
+the cap (2048²+ heatmaps).  Not adopted; re-evaluate only with per-size
+measurements across every headline config.
 """
 
 from __future__ import annotations
